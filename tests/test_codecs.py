@@ -1,0 +1,60 @@
+"""Codec unit tests: bit-exactness vs audioop, SNR invariant, tolerance."""
+
+import numpy as np
+import pytest
+
+from data_quality_ray.functions import codecs
+
+
+def test_g711_bit_exact_vs_audioop():
+    audioop = pytest.importorskip("audioop")
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    assert np.array_equal(
+        np.frombuffer(audioop.lin2ulaw(pcm.tobytes(), 2), dtype=np.uint8),
+        codecs.ulaw_encode(pcm),
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.lin2alaw(pcm.tobytes(), 2), dtype=np.uint8),
+        codecs.alaw_encode(pcm),
+    )
+    b = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(b.tobytes(), 2), dtype=np.int16),
+        codecs.ulaw_decode(b),
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(b.tobytes(), 2), dtype=np.int16),
+        codecs.alaw_decode(b),
+    )
+
+
+@pytest.mark.parametrize("codec", codecs.CODECS)
+@pytest.mark.parametrize("sr", [8000, 16000])
+def test_roundtrip_snr_at_least_30db(codec, sr):
+    """Per-row invariant from BASELINE.json input_hint: SNR >= 30 dB."""
+    t = np.arange(sr, dtype=np.float64) / sr
+    sig = 0.5 * np.sin(2 * np.pi * 317 * t) + 0.2 * np.sin(2 * np.pi * 700 * t)
+    pcm = (sig * 32767).astype(np.int16)
+    ref = pcm.astype(np.float32) / 32768.0
+    dec = codecs.decode_tolerant(codecs.encode(pcm, codec, sr), codec, sr)
+    assert dec is not None and len(dec) == len(ref)
+    assert codecs.snr_db(ref, dec) >= 30.0
+
+
+@pytest.mark.parametrize("codec", codecs.CODECS)
+def test_corrupt_payloads_return_none(codec):
+    assert codecs.decode_tolerant(b"", codec, 16000) is None
+    assert codecs.decode_tolerant(b"x", "pcm16", 16000) is None  # odd length
+    assert codecs.decode_tolerant(b"RIFFxxxxWAVE", "wav", 16000) is None
+    assert codecs.decode_tolerant(bytes(13), "wav", 16000) is None
+    assert codecs.decode_tolerant(b"ab", "nosuch", 16000) is None
+
+
+def test_wav_roundtrip_header():
+    pcm = np.arange(-100, 100, dtype=np.int16)
+    buf = codecs.wav_encode(pcm, 8000)
+    out = codecs.wav_decode(buf)
+    assert out is not None
+    dec, sr = out
+    assert sr == 8000
+    assert np.array_equal(dec, pcm)
