@@ -1,44 +1,159 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality-filter pipeline; ``queries()`` exposes
+every implemented operator (SURVEY.md §2 + the training-data ops) as a
+callable over an sf_dir; ``oracle_sql()`` gives the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
+def _clip_dir(sf_dir: str) -> str:
+    """Deterministic synthetic clip table matching the sf name (cached)."""
+    from data_quality_ray.synth.clips import CLIP_SF_ROWS, ensure_clips
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name not in CLIP_SF_ROWS:
+        name = "sf0.001"
+    return os.path.join(ensure_clips(name), "clips")
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full quality-filter annotation DAG on the sf0.001 clip table."""
+    from data_quality_ray.pipelines import quality
+
+    ds = quality.annotate(quality.read_clips(_clip_dir("/root/testdata/sf0.001")))
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_quality_pipeline(sf_dir: str):
+    from data_quality_ray.pipelines import quality
+
+    return quality.annotate(quality.read_clips(_clip_dir(sf_dir)))
+
+
+def _q_quality_kept(sf_dir: str):
+    from data_quality_ray.pipelines import quality
+
+    return quality.kept(quality.read_clips(_clip_dir(sf_dir)))
+
+
+def _q_quality_lang_stats(sf_dir: str):
+    from data_quality_ray.pipelines import quality
+    from data_quality_ray.stages.stats import lang_stats
+
+    ds = quality.annotate(quality.read_clips(_clip_dir(sf_dir)))
+    out = lang_stats(ds).to_pandas()
+    out["mean_ppl"] = out["mean_ppl"].round(4)
+    out["mean_score"] = out["mean_score"].round(6)
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+def _q_quality_bucket_counts(sf_dir: str):
+    import pandas as pd
+
+    from data_quality_ray.pipelines import quality
+    from data_quality_ray.stages.stats import bucket_counts
+
+    ds = quality.annotate(quality.read_clips(_clip_dir(sf_dir)))
+    c = bucket_counts(ds)
+    return pd.DataFrame(
+        {"bucket": ["Good", "Mid", "Bad"], "n": [c["Good"], c["Mid"], c["Bad"]]}
+    )
+
+
+def _q_doc_split(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_ray.functions.hashing import split_of
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "split": pa.array([split_of(str(i)) for i in ids], pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from data_quality_ray.pipelines import dedup, documents, embeddings, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship clip pipeline (model-based → rows-only driver check)
+        "quality_pipeline": _q_quality_pipeline,
+        "quality_kept": _q_quality_kept,
+        "quality_lang_stats": _q_quality_lang_stats,
+        "quality_bucket_counts": _q_quality_bucket_counts,
+        # relational surface (SQL-checked)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_by_segment": relational.revenue_by_segment,
+        "top_customers": relational.top_customers,
+        "order_priority_by_nation": relational.order_priority_by_nation,
+        "parts_filter_project": relational.parts_filter_project,
+        "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
+        # documents / text analysis
+        "doc_token_stats": documents.doc_token_stats,
+        "doc_fingerprint": documents.doc_fingerprint,
+        "doc_scrub": documents.doc_scrub,
+        "doc_quality_flags": documents.doc_quality_flags,
+        "doc_split": _q_doc_split,
+        "doc_langid": documents.doc_langid,
+        "doc_ppl": documents.doc_ppl,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "ann_brute_force": embeddings.ann_brute_force,
+        "ann_lsh": embeddings.ann_lsh,
+        "embedding_near_dup": embeddings.embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_quality_ray.functions.hashing import TEST_HEX_DIGITS_SQL
+    from data_quality_ray.pipelines import dedup, documents, embeddings, relational
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "order_priority_by_nation": relational.ORDER_PRIORITY_BY_NATION_SQL,
+        "parts_filter_project": relational.PARTS_FILTER_PROJECT_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_sessions": relational.EVENTS_SESSIONS_SQL,
+        "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
+        "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
+        "doc_scrub": documents.doc_scrub_sql(),
+        "doc_quality_flags": documents.DOC_QUALITY_FLAGS_SQL,
+        "doc_split": f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {TEST_HEX_DIGITS_SQL}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+""",
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "ann_brute_force": embeddings.ANN_BRUTE_FORCE_SQL,
+    }

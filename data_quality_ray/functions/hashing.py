@@ -37,7 +37,11 @@ def md5_mod(s: str, k: int) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % k
 
 
-def split_of(clip_id: str, test_hex_digits: frozenset[str] = frozenset("0123")) -> str:
+TEST_HEX_DIGITS = frozenset("0123")
+TEST_HEX_DIGITS_SQL = "('0', '1', '2', '3')"
+
+
+def split_of(clip_id: str, test_hex_digits: frozenset[str] = TEST_HEX_DIGITS) -> str:
     """Deterministic train/test split: 'test' iff first md5 hex digit ∈ set.
 
     Default set {0,1,2,3} → P(test) = 4/16 = 0.25 (reference role: the

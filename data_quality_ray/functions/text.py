@@ -52,13 +52,19 @@ _SYMBOL_RE = re.compile(r"[^0-9A-Za-zÀ-ÿ\s]")
 _DIGIT_RE = re.compile(r"[0-9]")
 
 
-def symbol_density(texts: list[str]) -> np.ndarray:
-    """Fraction of chars that are punctuation/symbols (not alnum/space)."""
-    out = np.empty(len(texts), dtype=np.float64)
+def symbol_counts(texts: list[str]) -> np.ndarray:
+    """Count of punctuation/symbol/digit chars per text (int)."""
+    out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        n = len(t)
-        out[i] = (len(_SYMBOL_RE.findall(t)) + len(_DIGIT_RE.findall(t))) / n if n else 1.0
+        out[i] = len(_SYMBOL_RE.findall(t)) + len(_DIGIT_RE.findall(t))
     return out
+
+
+def symbol_density(texts: list[str]) -> np.ndarray:
+    """Fraction of chars that are punctuation/symbols/digits."""
+    counts = symbol_counts(texts)
+    lens = char_lengths(texts)
+    return np.where(lens > 0, counts / np.maximum(lens, 1), 1.0)
 
 
 def repetition_ratio(texts: list[str]) -> np.ndarray:

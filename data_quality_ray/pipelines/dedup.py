@@ -1,0 +1,362 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Corpus-grain dedup the reference never needed (it has no identity notion
+beyond file names, SURVEY.md §2.8) but a 100 TB training-data pipeline does.
+All variants follow the same scale shape:
+
+  signature per row (map_batches, vectorized numpy)
+    → explode to (band, band_hash, id) rows
+    → groupby band bucket (the ONLY shuffle; bucket key is uniform by
+      construction, so no skew/salting needed)
+    → candidate pairs per bucket (map_groups)
+    → verify (estimated or exact similarity)
+    → connected components → representative = min id per cluster
+
+Connected components run on the driver over the *verified pair list* —
+orders of magnitude smaller than the corpus (documented assumption; the
+scale path is iterative min-label propagation with groupby, same pairs
+input). The testdata documents have no duplicates, so the dedup entries
+plant them: each corpus is doubled with (exact or perturbed) copies at
+``doc_id + DUP_OFFSET``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from data_quality_ray.functions import text as T
+from data_quality_ray.functions.hashing import stable_u64
+
+DUP_OFFSET = 1_000_000
+
+def _docs(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+
+def _doubled(sf_dir: str, perturb: bool) -> "rd.Dataset":
+    """documents ∪ copies at doc_id+DUP_OFFSET (optionally with the last two
+    tokens dropped — near-dup, not exact-dup)."""
+
+    def copy(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy() + DUP_OFFSET
+        texts = t["text"].to_pylist()
+        if perturb:
+            texts = [" ".join(x.split(" ")[:-2]) for x in texts]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    base = _docs(sf_dir)
+    return base.union(base.map_batches(copy, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-partition + per-group min id (SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup of the doubled corpus on normalized-text fingerprint.
+
+    Ray shape: fingerprint in map_batches → groupby(fingerprint) →
+    map_groups(min doc_id). Every surviving row is the smallest id of its
+    content group.
+    """
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(T.normalize_for_fingerprint(x).encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h, pa.string())})
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].min())], "fingerprint": [g["fingerprint"].iloc[0]]}
+        )
+
+    out = (
+        _doubled(sf_dir, perturb=False)
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(keep_min, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+EXACT_DEDUP_SQL = rf"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents
+)
+SELECT min(doc_id) AS doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM doubled
+GROUP BY 2
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-gram shingles (uint64)."""
+    toks = T.ws_tokens(T.normalize_for_fingerprint(text))
+    if len(toks) < k:
+        return np.array([stable_u64(" ".join(toks))], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (stable_u64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)),
+            dtype=np.uint64,
+        )
+    )
+
+
+class MinHasher:
+    """Minhash via a multiply-add-mod-2^64 permutation family (odd ``a``),
+    fully vectorized with native uint64 wraparound — one (n_perm × n_shingle)
+    broadcast multiply per document."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = (rng.integers(1, 1 << 63, n_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * shingles[None, :] + self.b[:, None]
+        return np.min(vals, axis=1)
+
+
+def minhash_signatures(ds: "rd.Dataset", n_perm: int = 128) -> "rd.Dataset":
+    """(doc_id, sig list<uint64>) per document — stateful actor stage."""
+
+    class SigStage:
+        def __init__(self):
+            self.mh = MinHasher(n_perm)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sigs = [
+                self.mh.signature(_shingle_hashes(x)).tolist() for x in t["text"].to_pylist()
+            ]
+            return pa.table(
+                {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.list_(pa.uint64()))}
+            )
+
+    return ds.map_batches(SigStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _band_rows(t: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
+    """Explode signatures into (band, band_hash, doc_id) rows."""
+    ids = t["doc_id"].to_numpy()
+    sigs = t["sig"].to_pylist()
+    out_band, out_hash, out_id = [], [], []
+    for i, sig in enumerate(sigs):
+        s = np.asarray(sig, dtype=np.uint64)
+        for b in range(n_bands):
+            band = s[b * rows_per_band : (b + 1) * rows_per_band]
+            out_band.append(b)
+            out_hash.append(stable_u64(",".join(map(str, band.tolist()))))
+            out_id.append(int(ids[i]))
+    return pa.table(
+        {
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(g["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find on the driver (pair list ≪ corpus; see module docstring)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup(
+    sf_dir: str,
+    *,
+    n_perm: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Near-dup detection on the perturbed-doubled corpus via MinHash LSH.
+
+    Returns (doc_id, cluster_rep): every doc with the representative (min id)
+    of its near-dup cluster; singletons map to themselves. Candidate pairs
+    come from banded LSH buckets; similarity is the minhash estimate
+    (matching components / n_perm) ≥ threshold.
+    """
+    rows_per_band = n_perm // n_bands
+    ds = _doubled(sf_dir, perturb=True)
+    sigs = minhash_signatures(ds, n_perm)
+
+    band_ds = sigs.map_batches(
+        lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
+    )
+    cand = (
+        band_ds.groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    # verify with the signature table (broadcast; scale path = hash join)
+    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in sigs.take_all()}
+    verified = []
+    for a, b in zip(cand["a"], cand["b"]):
+        est = float(np.mean(sig_map[a] == sig_map[b]))
+        if est >= threshold:
+            verified.append((int(a), int(b)))
+
+    comp = _connected_components(verified)
+    all_ids = sorted(sig_map)
+    out = pd.DataFrame(
+        {"doc_id": all_ids, "cluster_rep": [comp.get(i, i) for i in all_ids]}
+    )
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit simhash over word-unigram hashes (unweighted), vectorized."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = set(T.ws_tokens(T.normalize_for_fingerprint(t)))
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.fromiter((stable_u64(w) for w in toks), dtype=np.uint64)
+        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = bitmat.sum(axis=0) * 2 - len(hs)  # (+1/-1 votes)
+        out[i] = np.uint64(((votes > 0).astype(np.uint64) << bits).sum())
+    return out
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup clustering of the perturbed-doubled corpus by SimHash.
+
+    Blocking: 4 bands of 16 bits — any pair with hamming distance ≤ 3 shares
+    at least one identical band (pigeonhole), so blocking is lossless for
+    the ≤3 radius. Verification = exact popcount on candidate pairs.
+    """
+    ds = _doubled(sf_dir, perturb=True)
+
+    def sig(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pa.array(_simhash64(t["text"].to_pylist()), pa.uint64())}
+        )
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow")
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = t["simhash"].to_numpy()
+        band, bhash, did = [], [], []
+        for b in range(4):
+            chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            band.extend([b] * len(ids))
+            bhash.extend(chunk.tolist())
+            did.extend(ids.tolist())
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int32()),
+                "band_hash": pa.array(bhash, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+            }
+        )
+
+    cand = (
+        sigs.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    hmap = {r["doc_id"]: int(r["simhash"]) for r in sigs.take_all()}
+    verified = [
+        (int(a), int(b))
+        for a, b in zip(cand["a"], cand["b"])
+        if bin(hmap[a] ^ hmap[b]).count("1") <= max_hamming
+    ]
+    comp = _connected_components(verified)
+    all_ids = sorted(hmap)
+    return pd.DataFrame(
+        {"doc_id": all_ids, "cluster_rep": [comp.get(i, i) for i in all_ids]}
+    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Near-dup PAIRS with exact word-3-gram Jaccard ≥ threshold.
+
+    Candidates from MinHash bands (cheap); verification computes the exact
+    Jaccard from shingle sets (broadcast shingle map; scale path = join).
+    """
+    n_perm, n_bands = 64, 16
+    ds = _doubled(sf_dir, perturb=True)
+    sigs = minhash_signatures(ds, n_perm)
+    band_ds = sigs.map_batches(
+        lambda t: _band_rows(t, n_bands, n_perm // n_bands), batch_format="pyarrow"
+    )
+    cand = (
+        band_ds.groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    sh_map = {
+        r["doc_id"]: set(_shingle_hashes(r["text"]).tolist()) for r in ds.take_all()
+    }
+    rows = []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa, sb = sh_map[a], sh_map[b]
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            rows.append((int(a), int(b), round(j, 6)))
+    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

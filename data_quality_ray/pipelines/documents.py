@@ -1,0 +1,206 @@
+"""Training-data operators over the ``documents`` table: text analysis,
+fingerprinting, scrubbing and language-ID at corpus grain.
+
+The documents table stands in for transcript-like text (FIXTURES.md §4);
+these stages are the same kernels the clip pipeline uses, exposed as
+standalone corpus operators with DuckDB oracles where SQL can express them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from data_quality_ray import config
+from data_quality_ray.functions import models
+from data_quality_ray.functions import text as T
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Token / char statistics (whitespace + BPE-ish regex token counting)
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish pieces, chars."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_ws = [len(T.ws_tokens(x)) for x in texts]
+        n_bpe = [len(T.bpe_tokens(x)) for x in texts]
+        n_chars = [len(x) for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pa.array(n_ws, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+                "n_chars_actual": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))  AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]+')) AS n_bpe_tokens,
+       length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (normalized md5) — exact-dedup key
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """md5 fingerprint of the whitespace/case-normalized text."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        norm = [T.normalize_for_fingerprint(x) for x in texts]
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in norm]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h, pa.string())})
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scrub at corpus grain (regex parity check incl. non-matches)
+# ---------------------------------------------------------------------------
+
+
+def doc_scrub(sf_dir: str) -> pd.DataFrame:
+    from data_quality_ray.stages.scrub import scrub_batch
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "transcript"])
+        out = scrub_batch(t)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "text_scrubbed": out["transcript_scrubbed"],
+                "had_pii": out["had_pii"],
+                "had_tox": out["had_tox"],
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(apply, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_scrub_sql() -> str:
+    scrub = T.scrub_sql_expr("text")
+    email, phone, sid = (T.SCRUB_RULES[i][3] for i in range(3))
+    tox = T.SCRUB_RULES[3][3]
+    return f"""
+SELECT doc_id,
+       {scrub} AS text_scrubbed,
+       (regexp_matches(text, '{email}') OR regexp_matches(text, '{phone}')
+        OR regexp_matches(text, '{sid}'))         AS had_pii,
+       regexp_matches(text, '(?i){tox}')          AS had_tox
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality flags at corpus grain (SQL-expressible subset)
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_flags(sf_dir: str) -> pd.DataFrame:
+    """Symbol-density + length flags per document (SQL-checkable rules)."""
+
+    def flags(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        sym = T.symbol_counts(texts)
+        n_chars = np.array([len(x) for x in texts], dtype=np.int64)
+        # flag uses the same float expression as the SQL oracle
+        # (sym > 0.40 * n), not sym/n > 0.40, to avoid boundary disagreement
+        flag_sym = np.where(n_chars > 0, sym > config.SYM_MAX * n_chars, True)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sym_chars": pa.array(sym, pa.int64()),
+                "flag_sym": pa.array(flag_sym),
+                "flag_short": pa.array(n_chars < 64),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(flags, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_QUALITY_FLAGS_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[0-9A-Za-zÀ-ÿ\s]', '', 'g'))
+           + length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS sym_chars
+  FROM documents
+)
+SELECT doc_id, sym_chars,
+       CASE WHEN n > 0 THEN sym_chars > 0.40 * n ELSE TRUE END AS flag_sym,
+       n < 64 AS flag_short
+FROM m ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID over the corpus (model-based — rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def doc_langid(sf_dir: str) -> pd.DataFrame:
+    """Predicted language + confidence per document (hashed-trigram NB)."""
+    from data_quality_ray.stages.langid import LangIdStage
+
+    pool = config.actor_pool_bounds()
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: LangIdStage(column="text")(t).select(
+                ["doc_id", "lang", "lang_conf"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out["lang_conf"] = out["lang_conf"].round(4)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_ppl(sf_dir: str) -> pd.DataFrame:
+    """LM perplexity per document (rows-only check)."""
+
+    def ppl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ppl": pa.array(np.round(models.ppl_scores(t["text"]), 4), pa.float64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(ppl, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

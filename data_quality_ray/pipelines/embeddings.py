@@ -1,0 +1,263 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- :func:`ann_brute_force` — exact cosine top-k: per-batch numpy matmul
+  against a broadcast query matrix (``ray.put`` once), per-batch partial
+  top-k, tiny driver-side merge. The baseline the scale paths are judged
+  against; DuckDB oracle via ``list_cosine_similarity``.
+- :func:`ann_lsh` — random-hyperplane LSH bucketing (multi-table): the
+  scale path; candidates only from matching buckets, recall measured
+  against brute force in tests.
+- :func:`embedding_near_dup` — cosine near-duplicate pairs over a corpus
+  with planted perturbed copies, LSH-bucketed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+N_QUERIES = 10
+TOP_K = 5
+DUP_OFFSET = 1_000_000
+
+
+def _emb(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy()
+    flat = t["embedding"].combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    arr = np.asarray(flat.values, dtype=np.float64).reshape(len(ids), -1)
+    return ids, arr
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the N_QUERIES lowest vec_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return df["vec_id"].to_numpy(), q
+
+
+def ann_brute_force(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Exact cosine top-k of every query against the whole table.
+
+    Shape: broadcast normalized query matrix → map_batches computes the
+    (batch × queries) similarity matrix and keeps each query's LOCAL top-k
+    (k rows per query per batch leave the stage) → driver merges partials
+    (n_blocks × q × k rows — tiny). Ties broken by vec_id ascending.
+    Returns (query_id, rank, vec_id) — integer-only for oracle stability.
+    """
+    qids, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qn))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qn_ = ray.get(q_ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = matn @ qn_.T  # (batch, q)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for j in range(len(qids_)):
+            s = sims[:, j]
+            # top-k with deterministic vec_id tie-break
+            order = np.lexsort((ids, -s))[:kk]
+            out_q.extend([int(qids_[j])] * kk)
+            out_v.extend(ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            out_rows.append((int(qid), rank, int(r["vec_id"])))
+    out = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id"])
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+ANN_BRUTE_FORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+class _Hyperplanes:
+    """n_tables × n_bits random hyperplanes (seeded), shared by index+query."""
+
+    def __init__(self, dim: int, n_tables: int = 8, n_bits: int = 8, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.n_tables, self.n_bits = n_tables, n_bits
+
+    def codes(self, mat: np.ndarray) -> np.ndarray:
+        """(n, n_tables) uint32 bucket codes."""
+        n = mat.shape[0]
+        out = np.empty((n, self.n_tables), dtype=np.uint32)
+        for t in range(self.n_tables):
+            bits = (mat @ self.planes[t].T) > 0  # (n, n_bits)
+            out[:, t] = (bits.astype(np.uint32) << np.arange(self.n_bits, dtype=np.uint32)).sum(axis=1)
+        return out
+
+
+def ann_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Approximate top-k: candidates = vectors sharing any LSH bucket with
+    the query (8 tables × 8 hyperplane bits), scored exactly, then top-k.
+
+    Scale shape: the bucketing stage is a map over the table emitting
+    (table, code, vec_id) rows; at 100 TB the candidate scoring is a
+    groupby-join on bucket code. Here the candidate union per query is
+    gathered via the same partial-top-k map as brute force, restricted to
+    bucket-matching rows (the broadcast carries the query codes).
+    """
+    qids, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # dim from the data; 16 tables × 6 bits ≈ 75% recall@5 on random
+    # gaussian embeddings while pruning ~3/4 of candidates
+    hp = _Hyperplanes(qmat.shape[1], n_tables=16, n_bits=6)
+    qcodes = hp.codes(qn)  # (q, n_tables)
+    q_ref = ray.put((qids, qn, qcodes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qn_, qcodes_ = ray.get(q_ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        codes = hp.codes(matn)  # (batch, n_tables)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids_)):
+            cand = (codes == qcodes_[j][None, :]).any(axis=1)
+            if not cand.any():
+                continue
+            s = matn[cand] @ qn_[j]
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            order = np.lexsort((cids, -s))[:kk]
+            out_q.extend([int(qids_[j])] * kk)
+            out_v.extend(cids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            out_rows.append((int(qid), rank, int(r["vec_id"])))
+    out = pd.DataFrame(out_rows, columns=["query_id", "rank", "vec_id"])
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs (planted perturbed copies)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
+    """Cosine near-dup pairs on a corpus doubled with slightly-noised copies
+    (vec_id + DUP_OFFSET, noise σ=0.01). Returns (a, b) pairs with
+    cosine ≥ threshold, a < b. LSH-bucketed candidate generation."""
+
+    def noisy_copy(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        rng = np.random.default_rng(ids[0] if len(ids) else 0)
+        noisy = mat + 0.01 * rng.standard_normal(mat.shape)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids + DUP_OFFSET, pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in noisy],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    base = _emb(sf_dir)
+    ds = base.union(base.map_batches(noisy_copy, batch_format="pyarrow"))
+
+    # bucket stage: (table, code, vec_id, embedding) rows, then per-bucket
+    # exact cosine among members (groupby → map_groups)
+    first = _load_queries(sf_dir)[1]
+    hp = _Hyperplanes(first.shape[1], n_tables=6, n_bits=10)
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        codes = hp.codes(matn)
+        n, T_ = codes.shape
+        return pa.table(
+            {
+                "htable": pa.array(np.repeat(np.arange(T_, dtype=np.int32), n)),
+                "code": pa.array(codes.T.reshape(-1).astype(np.int64)),
+                "vec_id": pa.array(np.tile(ids, T_), pa.int64()),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mat] * T_,
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = matn @ matn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu[hit]], "b": ids[ju[hit]]})
+
+    pairs = (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby(["htable", "code"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pairs

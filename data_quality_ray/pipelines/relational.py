@@ -1,0 +1,432 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+These exercise the engine's generic query surface (groupby-aggregate with
+map-side partials, broadcast joins, sort/top-k, windowed event aggregates,
+filter/project with read-time pruning) — each has an exact DuckDB oracle in
+``__ray_entry__.oracle_sql`` (driver conformance gate).
+
+Design rules applied throughout (SURVEY.md §4/§7.3):
+- prune columns AND push row filters into ``read_parquet``;
+- pre-aggregate inside map_batches before any groupby where the group count
+  is far below the row count (combiner);
+- broadcast small dimension tables (``ray.put`` once, dict lookup per batch)
+  instead of shuffle joins;
+- floats that cross the oracle boundary are rounded to 2 decimals on BOTH
+  sides (block-order-dependent double summation vs sequential SQL).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter → groupby(2 keys) → 8 aggregates
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/means over lineitem.
+
+    Read is pruned to the 7 needed columns with the shipdate predicate pushed
+    to parquet row groups. The groupby has ~6 groups — Ray's hash aggregate
+    does map-side partials already, so no manual combiner is needed.
+    """
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") <= cutoff),
+    )
+
+    def _e4(x) -> pa.Array:
+        # fixed-point 1e-4 units: integer sums are exact at ANY summation
+        # order, so Ray's block-order-dependent combine matches sequential SQL
+        return pc.cast(
+            pc.round(pc.multiply(x, pa.scalar(10_000.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_e4": _e4(t["l_quantity"]),
+                "price_e4": _e4(t["l_extendedprice"]),
+                "disc_price_e4": _e4(disc),
+                "charge_e4": _e4(charge),
+                "disc_e4": _e4(t["l_discount"]),
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_e4", alias_name="qty_e4"),
+            Sum("price_e4", alias_name="price_e4"),
+            Sum("disc_price_e4", alias_name="disc_price_e4"),
+            Sum("charge_e4", alias_name="charge_e4"),
+            Sum("disc_e4", alias_name="disc_e4"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    # ALL rounding in integer space (half-up, positive values): a 2-decimal
+    # result is cents/100.0 — bit-identical to the SQL oracle, no float
+    # rounding boundary cases (the .965 problem)
+    n = out["count_order"].to_numpy()
+
+    def cents(e4: pd.Series) -> np.ndarray:
+        return (e4.to_numpy() + 50) // 100
+
+    c_qty = cents(out.pop("qty_e4"))
+    c_price = cents(out.pop("price_e4"))
+    out["sum_qty"] = c_qty / 100.0
+    out["sum_base_price"] = c_price / 100.0
+    out["sum_disc_price"] = cents(out.pop("disc_price_e4")) / 100.0
+    out["sum_charge"] = cents(out.pop("charge_e4")) / 100.0
+    out["avg_qty"] = ((2 * c_qty + n) // (2 * n)) / 100.0
+    out["avg_price"] = ((2 * c_price + n) // (2 * n)) / 100.0
+    out["avg_disc"] = ((2 * out.pop("disc_e4").to_numpy() + 100 * n) // (200 * n)) / 100.0
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+            "count_order"]
+    return out[cols].sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+WITH e4 AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 10000) AS BIGINT)      AS qty_e4,
+         CAST(round(l_extendedprice * 10000) AS BIGINT) AS price_e4,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS disc_price_e4,
+         CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT) AS charge_e4,
+         CAST(round(l_discount * 10000) AS BIGINT)      AS disc_e4
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       ((sum(qty_e4) + 50) // 100) / 100.0        AS sum_qty,
+       ((sum(price_e4) + 50) // 100) / 100.0      AS sum_base_price,
+       ((sum(disc_price_e4) + 50) // 100) / 100.0 AS sum_disc_price,
+       ((sum(charge_e4) + 50) // 100) / 100.0     AS sum_charge,
+       ((2 * ((sum(qty_e4) + 50) // 100) + count(*)) // (2 * count(*))) / 100.0   AS avg_qty,
+       ((2 * ((sum(price_e4) + 50) // 100) + count(*)) // (2 * count(*))) / 100.0 AS avg_price,
+       ((2 * sum(disc_e4) + 100 * count(*)) // (200 * count(*))) / 100.0          AS avg_disc,
+       count(*)                                   AS count_order
+FROM e4
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join: orders ⋈ customer (small side broadcast, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Total order value per customer market segment.
+
+    The customer table is tiny relative to orders → broadcast pattern:
+    ``ray.put`` the custkey→segment dict once; every map task reads it from
+    the object store (zero-copy for the actor, one ship per node at scale)
+    and does a vectorized pandas ``map`` — no all-to-all shuffle.
+    """
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": batch["o_custkey"].map(seg),
+                # fixed-point: summation-order-independent (see q1)
+                "price_e4": (batch["o_totalprice"] * 10_000.0).round().astype("int64"),
+            }
+        )
+        # combiner: one partial row per segment per batch
+        return out.groupby("c_mktsegment", as_index=False).agg(
+            rev_e4=("price_e4", "sum"), n_orders=("price_e4", "size")
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = ((out.pop("rev_e4").to_numpy() + 50) // 100) / 100.0
+    return out[["c_mktsegment", "revenue", "n_orders"]].sort_values(
+        "c_mktsegment"
+    ).reset_index(drop=True)
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       ((sum(CAST(round(o_totalprice * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k: top customers by revenue
+# ---------------------------------------------------------------------------
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order value (groupby → sort → limit).
+
+    The groupby output is |customers| rows (small); sort+limit on it is a
+    cheap distributed sort. Ties broken by custkey for determinism.
+    """
+    def to_e4(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(10_000.0)),
+                     round_mode="half_up"),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": t["o_custkey"], "price_e4": e4})
+
+    agg = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(to_e4, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_e4", alias_name="rev_e4"))
+    )
+    top = agg.sort(["rev_e4", "o_custkey"], descending=[True, False]).limit(k).to_pandas()
+    top["revenue"] = ((top.pop("rev_e4").to_numpy() + 50) // 100) / 100.0
+    return top[["o_custkey", "revenue"]].reset_index(drop=True)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey,
+       ((sum(CAST(round(o_totalprice * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+FROM orders
+GROUP BY o_custkey
+ORDER BY sum(CAST(round(o_totalprice * 10000) AS BIGINT)) DESC, o_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-way broadcast join + filter (Q3 flavor)
+# ---------------------------------------------------------------------------
+
+
+def order_priority_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation (both dims broadcast) → counts per
+    (nation, priority). Two chained small-side lookups in ONE map stage."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    lookup_ref = ray.put(
+        (
+            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+            dict(zip(nation["n_nationkey"], nation["n_name"])),
+        )
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        c2n, n2name = ray.get(lookup_ref)
+        nk = batch["o_custkey"].map(c2n)
+        out = pd.DataFrame(
+            {"n_name": nk.map(n2name), "o_orderpriority": batch["o_orderpriority"]}
+        )
+        return out.groupby(["n_name", "o_orderpriority"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+        .map_batches(attach, batch_format="pandas")
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    return out.sort_values(["n_name", "o_orderpriority"]).reset_index(drop=True)
+
+
+ORDER_PRIORITY_BY_NATION_SQL = """
+SELECT n_name, o_orderpriority, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority
+ORDER BY n_name, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter + project with read-time pruning
+# ---------------------------------------------------------------------------
+
+
+def parts_filter_project(sf_dir: str) -> pd.DataFrame:
+    """Filter p_size >= 30, project brand/type, compute value = price*size.
+
+    The size predicate is pushed into the parquet read; the projection reads
+    only 4 of the table's columns.
+    """
+    ds = rd.read_parquet(
+        _pq(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_size", "p_retailprice"],
+        filter=(pc.field("p_size") >= 30),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        # integer-cents: round(price*100) once, multiply by the int size —
+        # exact at any scale (no float round boundary, see q1)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["p_retailprice"], pa.scalar(100.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        value = pc.divide(
+            pc.cast(pc.multiply(cents, pc.cast(t["p_size"], pa.int64())), pa.float64()),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {"p_partkey": t["p_partkey"], "p_brand": t["p_brand"], "value": value}
+        )
+
+    out = ds.map_batches(proj, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+PARTS_FILTER_PROJECT_SQL = """
+SELECT p_partkey, p_brand,
+       (CAST(round(p_retailprice * 100) AS BIGINT) * p_size) / 100.0 AS value
+FROM part WHERE p_size >= 30 ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window aggregate (streaming-shaped workload)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour event-time windows per event_type: count + sum(value).
+
+    Ray Data has no watermarks (SURVEY.md: the reference is strictly batch
+    anyway, eeg_datasets.py:70's windows are row-index tumbling); event-time
+    tumbling windows are a projection ``window = floor(ts to hour)`` followed
+    by a partial-aggregated groupby — window assignment is embarrassingly
+    parallel, only the (type × hour) partials shuffle.
+    """
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["ts"].dt.floor("h")
+        out = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "window_start": w,
+                # fixed-point 1e-6 units (summation-order independence, see q1)
+                "value_e6": (batch["value"] * 1e6).round().astype("int64"),
+            }
+        )
+        return out.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value_e6", "size"), value_e6=("value_e6", "sum")
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
+        .map_batches(assign, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value_e6", alias_name="value_e6"))
+        .to_pandas()
+    )
+    out["value_sum"] = ((out.pop("value_e6").to_numpy() + 5000) // 10000) / 100.0
+    return out[["event_type", "window_start", "n_events", "value_sum"]].sort_values(
+        ["event_type", "window_start"]
+    ).reset_index(drop=True)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       ((sum(CAST(round(value * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS value_sum
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — map_groups over per-user time-sorted events
+# ---------------------------------------------------------------------------
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session count + max session length per user (30-min inactivity gap).
+
+    Per-user windowing: ``groupby(user_id).map_groups`` with the group sorted
+    by ts — the partitioning assumption (all events of a user in one group)
+    is exactly what the groupby shuffle provides. SQL oracle uses the classic
+    lag/cumsum session id.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = new.cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sid.max())],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sess, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sized AS (
+  SELECT user_id, session_id, count(*) AS n FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+FROM sized GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,176 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Audio is this repo's REAL multimodal path (stages/decode.py decodes actual
+G.711/wav payloads). Image and video decode need codec libraries that are
+not in this container, so — per the build brief — the decode kernels for
+those are STUBBED: a deterministic fake codec (``fake-rgb8`` /
+``fake-vid8``: raw uint8 frames, header-free) is decoded for real, any
+other format raises ``NotImplementedError`` with a clear message. The
+Ray-side plumbing (schema, actor-pool signature, batch sizing, output
+layout) is real and tested; swapping a real decoder in is a one-function
+change per format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("format", pa.string()),  # "fake-rgb8" decodable; else stub
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("format", pa.string()),  # "fake-vid8" decodable; else stub
+    ]
+)
+
+
+def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
+    """bytes → (h, w, 3) uint8. Real only for the deterministic fake codec."""
+    if fmt == "fake-rgb8":
+        expect = width * height * 3
+        if len(buf) != expect:
+            raise ValueError(f"fake-rgb8 payload {len(buf)} != {expect}")
+        return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+    raise NotImplementedError(
+        f"image codec {fmt!r}: real decoders (jpeg/png/webp) are not available "
+        "in this environment — plug a decoder into decode_image()"
+    )
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → resize (nearest) → channel-stat features.
+
+    ``__init__`` holds per-worker state (target size, any model weights);
+    ``__call__`` is per-batch. Output: per-image mean/std per channel and a
+    thumb_{size}x{size} flattened thumbnail (list<float32>) — the layout a
+    real embedding model would produce.
+    """
+
+    def __init__(self, thumb: int = 4):
+        self.thumb = thumb
+
+    def _resize_nearest(self, img: np.ndarray, h: int, w: int) -> np.ndarray:
+        ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+        xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bufs = batch["bytes"].to_pylist()
+        ws = batch["width"].to_numpy()
+        hs = batch["height"].to_numpy()
+        fmts = batch["format"].to_pylist()
+        ok = np.zeros(n, dtype=bool)
+        means = np.zeros((n, 3), dtype=np.float32)
+        stds = np.zeros((n, 3), dtype=np.float32)
+        thumbs: list[list[float]] = []
+        for i in range(n):
+            try:
+                img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            except (NotImplementedError, ValueError):
+                thumbs.append([])
+                continue
+            ok[i] = True
+            means[i] = img.reshape(-1, 3).mean(axis=0)
+            stds[i] = img.reshape(-1, 3).std(axis=0)
+            tn = self._resize_nearest(img, self.thumb, self.thumb)
+            thumbs.append((tn.astype(np.float32) / 255.0).reshape(-1).tolist())
+        return (
+            batch.drop_columns(["bytes"])
+            .append_column("decode_ok", pa.array(ok))
+            .append_column("mean_rgb", pa.array([m.tolist() for m in means], pa.list_(pa.float32())))
+            .append_column("std_rgb", pa.array([s.tolist() for s in stds], pa.list_(pa.float32())))
+            .append_column("thumb", pa.array(thumbs, pa.list_(pa.float32())))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample every k-th frame of a fake-codec video into
+    one row per sampled frame (flat-map shape: output rows ≠ input rows)."""
+
+    def __init__(self, every_k: int = 4):
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, frames, idxs = [], [], []
+        for i in range(batch.num_rows):
+            fmt = batch["format"][i].as_py()
+            if fmt != "fake-vid8":
+                raise NotImplementedError(
+                    f"video codec {fmt!r}: no real demuxer in this environment"
+                )
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            nf = batch["n_frames"][i].as_py()
+            buf = np.frombuffer(batch["bytes"][i].as_py(), dtype=np.uint8)
+            arr = buf.reshape(nf, h, w, 3)
+            for f in range(0, nf, self.every_k):
+                vids.append(batch["video_id"][i].as_py())
+                idxs.append(f)
+                frames.append(arr[f].tobytes())
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def synth_images(n: int, width: int = 16, height: int = 12, seed: int = 5) -> pa.Table:
+    """Deterministic fake-codec image table for tests/demos."""
+    rows = {k: [] for k in ("image_id", "bytes", "width", "height", "format")}
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+        rows["image_id"].append(f"img-{i:06d}")
+        rows["bytes"].append(img.tobytes())
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["format"].append("fake-rgb8" if i % 7 else "jpeg")  # some stubs
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "format": pa.array(rows["format"], pa.string()),
+        }
+    )
+
+
+def synth_videos(n: int, width: int = 8, height: int = 6, n_frames: int = 12, seed: int = 9) -> pa.Table:
+    rows = {k: [] for k in ("video_id", "bytes", "width", "height", "n_frames", "format")}
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        arr = rng.integers(0, 256, (n_frames, height, width, 3), dtype=np.uint8)
+        rows["video_id"].append(f"vid-{i:06d}")
+        rows["bytes"].append(arr.tobytes())
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["n_frames"].append(n_frames)
+        rows["format"].append("fake-vid8")
+    return pa.table(
+        {
+            "video_id": pa.array(rows["video_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "format": pa.array(rows["format"], pa.string()),
+        }
+    )

@@ -1,0 +1,76 @@
+"""Driver-conformance rehearsal: every ``oracle_sql()`` entry is executed in
+DuckDB against the testdata views and compared value-by-value with the Ray
+result — the same check CORRECTNESS_r{N}.json records, run at sf0.001 for
+speed (the driver runs sf0.01)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, con, ray_session):
+    ray_fn = entrymod.queries()[name]
+    got = ray_fn(SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.execute(entrymod.oracle_sql()[name]).df()
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), f"{name}: columns {list(g.columns)} vs {list(w.columns)}"
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
+    for c in g.columns:
+        if pd.api.types.is_float_dtype(g[c]):
+            assert np.allclose(g[c].to_numpy(), w[c].to_numpy(), rtol=0, atol=1e-9), (
+                f"{name}: float col {c} differs"
+            )
+        else:
+            same = (g[c].to_numpy() == w[c].to_numpy())
+            assert same.all(), f"{name}: col {c} differs at {np.nonzero(~same)[0][:5]}"
+
+
+def test_rows_only_queries_run(ray_session):
+    """Queries without SQL oracles must still run and return rows."""
+    qs = entrymod.queries()
+    for name in ("doc_langid", "doc_ppl", "minhash_dedup", "simhash_dedup",
+                 "ngram_jaccard_pairs", "ann_lsh", "embedding_near_dup"):
+        out = qs[name](SF_DIR)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) >= 0 and len(out.columns) >= 2, name
