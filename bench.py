@@ -1,0 +1,132 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline: the flagship quality-filter pipeline (decode → scrub → langid →
+perplexity → rules → decision → split → stats + partitioned parquet write)
+over the deterministic synthetic clip table matching $GRAFT_SF_DIR's scale
+factor, on a fresh local Ray session with $RAY_GRAFT_CPUS cpus.
+
+Also times representative operators from the wider surface (relational
+groupby/join/sort, windowed events, exact dedup, minhash near-dup, ANN).
+
+``--scaling``: runs the same bench twice in FRESH processes at 8 and 32
+CPUs (the N vs 4N two-cluster-size stand-in sanctioned for this sandbox)
+and reports both throughputs + scaling efficiency.
+
+Input generation and OS page-cache warmup are excluded from timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_8_vs_32_cpus",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "clips_per_sec_8": lo["clips_per_sec"],
+                "clips_per_sec_32": hi["clips_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": lo["sf"],
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _run_scaling()
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from data_quality_ray.synth.clips import CLIP_SF_ROWS, ensure_clips
+    from data_quality_ray.pipelines import quality, relational, dedup, embeddings
+
+    # ---- untimed setup: synth clips (cached) + page-cache warm ----
+    name = sf_name if sf_name in CLIP_SF_ROWS else "sf0.01"
+    clips_root = ensure_clips(name)
+    clips_dir = os.path.join(clips_root, "clips")
+    n_rows = CLIP_SF_ROWS[name]
+    for d in (clips_dir, sf_dir):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                with open(os.path.join(d, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: full quality pipeline incl. partitioned write ----
+    out_dir = f"/tmp/bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    quality.run_checkpointed(clips_dir, out_dir, n_partitions=1, resume=False)
+    headline = time.perf_counter() - t0
+    queries["quality_pipeline"] = round(headline, 3)
+
+    # ---- representative operator benchmarks ----
+    def bench(name_: str, fn) -> None:
+        t = time.perf_counter()
+        fn()
+        queries[name_] = round(time.perf_counter() - t, 3)
+
+    bench("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
+    bench("revenue_by_segment", lambda: relational.revenue_by_segment(sf_dir))
+    bench("events_hourly", lambda: relational.events_hourly(sf_dir))
+    bench("events_sessions", lambda: relational.events_sessions(sf_dir))
+    bench("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
+    bench("minhash_dedup", lambda: dedup.minhash_dedup(sf_dir))
+    bench("ann_brute_force", lambda: embeddings.ann_brute_force(sf_dir))
+
+    print(
+        json.dumps(
+            {
+                "metric": "quality_pipeline_sec",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_name,
+                "num_cpus": num_cpus,
+                "clips": n_rows,
+                "clips_per_sec": round(n_rows / headline, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

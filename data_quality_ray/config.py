@@ -34,10 +34,15 @@ STATS_SALT = 16               # salt fan-out for skewed per-language groupby
 
 
 def actor_pool_bounds() -> tuple[int, int]:
-    """Actor pool (min, max) for the langid / perplexity stages, sized so the
-    two pools together can never pin every CPU (which deadlocks the stream:
-    nothing left for read/decode/write tasks). Each pool gets min 1 actor,
-    max ≈ a quarter of the cluster's CPUs.
+    """Actor pool (min, max) for the langid / perplexity stages.
+
+    min=1 so a pool can never pin every CPU at startup (fixed-size pools
+    with min≥2 deadlock a 4-CPU session: nothing left for read/write
+    tasks). max = all CPUs: Ray fuses adjacent map stages into the actor
+    pool (decode+scrub fuse into the langid pool), so the pool carries the
+    heavy decode work — capping it below the machine leaves CPUs idle; the
+    autoscaler only grows a pool while backlog exists AND resources are
+    free, so two max=N pools share the machine by queue pressure.
     """
     try:
         import ray
@@ -45,4 +50,4 @@ def actor_pool_bounds() -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         cpus = 4
-    return (1, max(2, cpus // 4))
+    return (max(1, cpus // 8), max(2, cpus))

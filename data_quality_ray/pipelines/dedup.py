@@ -110,17 +110,31 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX3 = np.uint64(0x165667B19E3779F9)
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-gram shingles (uint64)."""
+    """Hashes of word k-gram shingles (uint64), vectorized.
+
+    Tokens are hashed in one vectorized call (pandas siphash, fixed key —
+    deterministic across processes); k-gram shingle hashes are an arithmetic
+    mix of the k token hashes (no per-shingle string building / digesting).
+    """
     toks = T.ws_tokens(T.normalize_for_fingerprint(text))
+    if not toks:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    th = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
     if len(toks) < k:
-        return np.array([stable_u64(" ".join(toks))], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (stable_u64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)),
-            dtype=np.uint64,
-        )
-    )
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for v in th:
+                h = h * _MIX1 ^ np.uint64(v)
+        return np.array([h], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        sh = th[:-2] * _MIX1 ^ th[1:-1] * _MIX2 ^ th[2:] * _MIX3
+    return np.unique(sh)
 
 
 class MinHasher:
@@ -140,55 +154,98 @@ class MinHasher:
         return np.min(vals, axis=1)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _get_minhasher(n_perm: int) -> MinHasher:
+    return MinHasher(n_perm)
+
+
 def minhash_signatures(ds: "rd.Dataset", n_perm: int = 128) -> "rd.Dataset":
-    """(doc_id, sig list<uint64>) per document — stateful actor stage."""
+    """(doc_id, sig list<uint64>) per document.
 
-    class SigStage:
-        def __init__(self):
-            self.mh = MinHasher(n_perm)
+    Runs as stateless TASKS with the (tiny, deterministic) permutation table
+    cached per worker process — an actor pool here pays pool-startup latency
+    for state that costs microseconds to build; the actor-pool pattern is
+    reserved for stages with genuinely heavy state (langid/perplexity
+    models, stages/langid.py).
+    """
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sigs = [
-                self.mh.signature(_shingle_hashes(x)).tolist() for x in t["text"].to_pylist()
-            ]
-            return pa.table(
-                {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.list_(pa.uint64()))}
-            )
+    def sig_batch(t: pa.Table) -> pa.Table:
+        mh = _get_minhasher(n_perm)
+        sigs = [mh.signature(_shingle_hashes(x)).tolist() for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.list_(pa.uint64()))}
+        )
 
-    return ds.map_batches(SigStage, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=1024)
 
 
 def _band_rows(t: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
-    """Explode signatures into (band, band_hash, doc_id) rows."""
+    """Explode signatures into (band, band_hash, doc_id) rows — vectorized:
+    one (n_docs × n_bands × rows_per_band) reshape + arithmetic fold."""
     ids = t["doc_id"].to_numpy()
-    sigs = t["sig"].to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for i, sig in enumerate(sigs):
-        s = np.asarray(sig, dtype=np.uint64)
-        for b in range(n_bands):
-            band = s[b * rows_per_band : (b + 1) * rows_per_band]
-            out_band.append(b)
-            out_hash.append(stable_u64(",".join(map(str, band.tolist()))))
-            out_id.append(int(ids[i]))
+    n = len(ids)
+    flat = t["sig"].combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    sig_mat = np.asarray(flat.values, dtype=np.uint64).reshape(n, n_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n, n_bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = h * _MIX1 ^ sig_mat[:, :, r]
     return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(h.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
         }
     )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(g["doc_id"].unique())
-    if len(ids) < 2:
+N_PAIR_PARTITIONS = 64
+
+
+def _add_partition_key(t: pa.Table) -> pa.Table:
+    """Hash-partition key over (band, band_hash) so pair generation runs as
+    ~64 partition-grain groups (vectorized pandas inside), not one python
+    call per bucket — the explicit partitioned-groupby pattern."""
+    bh = t["band_hash"].to_numpy()
+    band = t["band"].to_numpy().astype(np.uint64)
+    pkey = ((bh ^ (band * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(N_PAIR_PARTITIONS)).astype(
+        np.int64
+    )
+    return t.append_column("pkey", pa.array(pkey, pa.int64()))
+
+
+def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All candidate pairs within each (band, band_hash) bucket of this
+    partition. Buckets are ≥99% singletons: filter them vectorized first."""
+    multi = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
+    if multi.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for (_, _), grp in multi.groupby(["band", "band_hash"], sort=False):
+        ids = np.unique(grp["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a_out.extend(ids[iu].tolist())
+        b_out.extend(ids[ju].tolist())
+    return pd.DataFrame({"a": a_out, "b": b_out})
+
+
+def _candidate_pairs(band_ds) -> pd.DataFrame:
+    """(band, band_hash, doc_id) rows → deduplicated candidate (a, b) pairs."""
+    return (
+        band_ds.map_batches(_add_partition_key, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(_partition_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
 
 
 def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -224,17 +281,14 @@ def minhash_dedup(
     """
     rows_per_band = n_perm // n_bands
     ds = _doubled(sf_dir, perturb=True)
-    sigs = minhash_signatures(ds, n_perm)
+    # signatures are tiny (n_docs × n_perm × 8B) and consumed twice (bands +
+    # verification) → materialize once instead of re-running the sig DAG
+    sigs = minhash_signatures(ds, n_perm).materialize()
 
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
     )
-    cand = (
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    cand = _candidate_pairs(band_ds)
 
     # verify with the signature table (broadcast; scale path = hash join)
     sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in sigs.take_all()}
@@ -262,11 +316,11 @@ def _simhash64(texts: list[str]) -> np.ndarray:
     out = np.empty(len(texts), dtype=np.uint64)
     bits = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
-        toks = set(T.ws_tokens(T.normalize_for_fingerprint(t)))
+        toks = list(set(T.ws_tokens(T.normalize_for_fingerprint(t))))
         if not toks:
             out[i] = 0
             continue
-        hs = np.fromiter((stable_u64(w) for w in toks), dtype=np.uint64)
+        hs = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
         bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
         votes = bitmat.sum(axis=0) * 2 - len(hs)  # (+1/-1 votes)
         out[i] = np.uint64(((votes > 0).astype(np.uint64) << bits).sum())
@@ -287,7 +341,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             {"doc_id": t["doc_id"], "simhash": pa.array(_simhash64(t["text"].to_pylist()), pa.uint64())}
         )
 
-    sigs = ds.map_batches(sig, batch_format="pyarrow")
+    sigs = ds.map_batches(sig, batch_format="pyarrow").materialize()  # reused twice, tiny
 
     def bands(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -306,13 +360,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             }
         )
 
-    cand = (
-        sigs.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    cand = _candidate_pairs(sigs.map_batches(bands, batch_format="pyarrow"))
     hmap = {r["doc_id"]: int(r["simhash"]) for r in sigs.take_all()}
     verified = [
         (int(a), int(b))
@@ -338,17 +386,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     Jaccard from shingle sets (broadcast shingle map; scale path = join).
     """
     n_perm, n_bands = 64, 16
-    ds = _doubled(sf_dir, perturb=True)
+    ds = _doubled(sf_dir, perturb=True).materialize()  # reused: bands + shingle verify
     sigs = minhash_signatures(ds, n_perm)
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, n_bands, n_perm // n_bands), batch_format="pyarrow"
     )
-    cand = (
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    cand = _candidate_pairs(band_ds)
     sh_map = {
         r["doc_id"]: set(_shingle_hashes(r["text"]).tolist()) for r in ds.take_all()
     }

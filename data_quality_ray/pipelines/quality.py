@@ -85,14 +85,42 @@ def kept(ds: "rd.Dataset") -> "rd.Dataset":
     )
 
 
-def _content_hash_sum(batch: pa.Table) -> pa.Table:
-    """Order-independent content hash partial: sum of row hashes mod 2^64."""
+def _lineage_partial(batch: pa.Table) -> pa.Table:
+    """ONE combiner for everything lineage needs: per-(lang, split) partial
+    rows carrying counts, keep counts, ppl/score sums, bucket counts and an
+    order-independent content-hash sum. One pass, one tiny driver combine —
+    replaces three separate dataset executions."""
     import numpy as np
+    import pandas as pd
 
     h = hash_binary_column(batch["transcript_scrubbed"])
+    df = pd.DataFrame(
+        {
+            "lang": batch["lang"].to_pylist(),
+            "split": batch["split"].to_pylist(),
+            "keep": batch["keep"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "ppl": batch["ppl"].to_numpy(),
+            "score": batch["quality_score"].to_numpy(),
+            "bucket": batch["bucket"].to_pylist(),
+        }
+    )
     with np.errstate(over="ignore"):
-        s = np.uint64(h.sum())
-    return pa.table({"hash_sum": pa.array([int(s)], pa.uint64()), "rows": pa.array([len(h)], pa.int64())})
+        hs = int(np.uint64(h.sum()))
+    g = (
+        df.groupby(["lang", "split"], sort=True)
+        .agg(
+            n=("keep", "size"),
+            kept=("keep", "sum"),
+            ppl_sum=("ppl", "sum"),
+            score_sum=("score", "sum"),
+            good=("bucket", lambda b: int((b == "good").sum())),
+            mid=("bucket", lambda b: int((b == "mid").sum())),
+            bad=("bucket", lambda b: int((b == "bad").sum())),
+        )
+        .reset_index()
+    )
+    g["hash_sum"] = ([hs] + [0] * (len(g) - 1)) if len(g) else []
+    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def run_checkpointed(
@@ -125,34 +153,48 @@ def run_checkpointed(
         ds = ds.select_columns(out_cols)
         tmp = os.path.join(out_dir, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
         ds.write_parquet(tmp)  # ONE streaming pass writes the data
-        # lineage stats: second, cheap pass over the *written* files with
-        # column pruning — never materializes the partition in memory
-        stat_ds = rd.read_parquet(
-            tmp,
-            columns=["lang", "split", "keep", "ppl", "quality_score", "bucket",
-                     "transcript_scrubbed"],
-        )
-        stats_tbl = lang_stats(stat_ds).to_pandas()
-        buckets = bucket_counts(stat_ds)
+        # lineage stats: one cheap column-pruned pass over the *written*
+        # files — map-side combine, driver merges the tiny partials
         import numpy as np
 
-        hparts = stat_ds.map_batches(_content_hash_sum, batch_format="pyarrow").to_pandas()
+        parts = (
+            rd.read_parquet(
+                tmp,
+                columns=["lang", "split", "keep", "ppl", "quality_score",
+                         "bucket", "transcript_scrubbed"],
+            )
+            .map_batches(_lineage_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        agg = (
+            parts.groupby(["lang", "split"], sort=True)
+            .agg(
+                n=("n", "sum"), kept=("kept", "sum"), ppl_sum=("ppl_sum", "sum"),
+                score_sum=("score_sum", "sum"), good=("good", "sum"),
+                mid=("mid", "sum"), bad=("bad", "sum"),
+            )
+            .reset_index()
+        )
         with np.errstate(over="ignore"):
-            content_hash = int(np.uint64(hparts["hash_sum"].to_numpy(dtype=np.uint64).sum()))
+            content_hash = int(np.uint64(parts["hash_sum"].to_numpy(dtype=np.uint64).sum()))
         lineage = {
             "partition": pid,
             "files": [os.path.basename(f) for f in part_files],
-            "rows": int(hparts["rows"].sum()),
-            "kept": int(stats_tbl["n_kept"].sum()),
-            "buckets": buckets,
+            "rows": int(agg["n"].sum()),
+            "kept": int(agg["kept"].sum()),
+            "buckets": {
+                "Good": int(agg["good"].sum()),
+                "Mid": int(agg["mid"].sum()),
+                "Bad": int(agg["bad"].sum()),
+            },
             "langs": {
                 f"{r.lang}/{r.split}": {
-                    "n": int(r.n_clips),
-                    "kept": int(r.n_kept),
-                    "mean_ppl": float(r.mean_ppl),
-                    "mean_score": float(r.mean_score),
+                    "n": int(r.n),
+                    "kept": int(r.kept),
+                    "mean_ppl": float(r.ppl_sum / r.n),
+                    "mean_score": float(r.score_sum / r.n),
                 }
-                for r in stats_tbl.itertuples()
+                for r in agg.itertuples()
             },
             "content_hash": content_hash,
         }

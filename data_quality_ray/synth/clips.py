@@ -226,11 +226,20 @@ def generate_clips(out_dir: str, n: int, seed: int = SEED, *, use_ray: bool = Tr
         # rewrite: split sidecar out of the written files (single pass, small)
         _split_sidecar(clips_dir, meta_dir)
     else:
+        # shard even the local path: one ~2500-row file per shard so the
+        # reader gets block-level parallelism (one file = one read task)
         tbl = generate_clips_local(n, seed)
-        pq.write_table(tbl.select([c for c in tbl.column_names if not c.startswith("_")]),
-                       os.path.join(clips_dir, "part-0.parquet"))
-        pq.write_table(tbl.select(["clip_id", "_class", "_lang"]),
-                       os.path.join(meta_dir, "part-0.parquet"))
+        shard = 2500
+        for si, off in enumerate(range(0, n, shard)):
+            sl = tbl.slice(off, shard)
+            pq.write_table(
+                sl.select([c for c in sl.column_names if not c.startswith("_")]),
+                os.path.join(clips_dir, f"part-{si:05d}.parquet"),
+            )
+            pq.write_table(
+                sl.select(["clip_id", "_class", "_lang"]),
+                os.path.join(meta_dir, f"part-{si:05d}.parquet"),
+            )
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
         f.write(f"n={n} seed={seed}\n")
 
