@@ -36,13 +36,12 @@ STATS_SALT = 16               # salt fan-out for skewed per-language groupby
 def actor_pool_bounds() -> tuple[int, int]:
     """Actor pool (min, max) for the langid / perplexity stages.
 
-    min=1 so a pool can never pin every CPU at startup (fixed-size pools
-    with min≥2 deadlock a 4-CPU session: nothing left for read/write
-    tasks). max = all CPUs: Ray fuses adjacent map stages into the actor
-    pool (decode+scrub fuse into the langid pool), so the pool carries the
-    heavy decode work — capping it below the machine leaves CPUs idle; the
-    autoscaler only grows a pool while backlog exists AND resources are
-    free, so two max=N pools share the machine by queue pressure.
+    The pools carry only the light text stages (scrub fuses into langid;
+    see pipelines/quality.py stage-order comment) — the heavy decode runs
+    as tasks after the pools. min=1 so two pools can never pin a small
+    session's CPUs at startup (fixed-size pools deadlock a 4-CPU session);
+    max = a quarter of the machine each, leaving the bulk for the decode
+    task stage and the reader.
     """
     try:
         import ray
@@ -50,4 +49,4 @@ def actor_pool_bounds() -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         cpus = 4
-    return (max(1, cpus // 8), max(2, cpus))
+    return (1, max(2, cpus // 4))

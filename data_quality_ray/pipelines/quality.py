@@ -52,12 +52,29 @@ def annotate(ds: "rd.Dataset", *, validate: bool = True) -> "rd.Dataset":
         schema.validate_clip_schema(
             pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
         )
-    ds = ds.map_batches(
-        decode_features, batch_format="pyarrow", batch_size=config.CLIP_BATCH_SIZE
-    )
-    ds = ds.drop_columns(["bytes"])
-    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    # Stage layout, chosen deliberately around Ray's operator-fusion rules:
+    # - decode is the HEAVY stage and stateless → it must run as elastic
+    #   TASKS on every free CPU, never inside a bounded actor pool. Task
+    #   stages fuse into a following actor pool, which would swallow decode
+    #   and cap it at the pool size — the decode stage therefore carries a
+    #   distinct resource hint (memory), which legitimately describes its
+    #   wide-binary batches AND makes its remote args fusion-incompatible.
+    # - decode drops the ``bytes`` payload inside its own stage, so the wide
+    #   binary column never crosses another operator boundary; everything
+    #   downstream moves text + small feature columns only.
+    # - scrub (cheap, text-only) fuses into the langid pool; rules/decision/
+    #   split fuse into one task stage after the pools (actor→task never
+    #   fuses).
+    import functools
+
     pool = config.actor_pool_bounds()
+    ds = ds.map_batches(
+        functools.partial(decode_features, drop_payload=True),
+        batch_format="pyarrow",
+        batch_size=config.CLIP_BATCH_SIZE,
+        memory=256 * 1024 * 1024,
+    )
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
     ds = ds.map_batches(
         LangIdStage,
         batch_format="pyarrow",
@@ -105,7 +122,9 @@ def _lineage_partial(batch: pa.Table) -> pa.Table:
         }
     )
     with np.errstate(over="ignore"):
-        hs = int(np.uint64(h.sum()))
+        # two's-complement int64 reinterpretation: pandas/arrow carry it as
+        # int64; the driver views the bits back as uint64 before summing
+        hs = int(np.uint64(h.sum()).astype(np.int64))
     g = (
         df.groupby(["lang", "split"], sort=True)
         .agg(
@@ -152,18 +171,24 @@ def run_checkpointed(
         out_cols = [f.name for f in schema.OUTPUT_SCHEMA]
         ds = ds.select_columns(out_cols)
         tmp = os.path.join(out_dir, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
-        ds.write_parquet(tmp)  # ONE streaming pass writes the data
-        # lineage stats: one cheap column-pruned pass over the *written*
-        # files — map-side combine, driver merges the tiny partials
+        os.makedirs(tmp, exist_ok=True)
+        # ONE streaming execution: each task writes its block as a parquet
+        # file under the partition tmp dir AND returns its lineage partial
+        # (counts / per-lang sums / hash). The driver merges the tiny
+        # partials — no second pass over the data, no mid-pipeline
+        # materialization; the atomic rename in ckpt.commit publishes it.
         import numpy as np
+        import pyarrow.parquet as pq_mod
+
+        def write_and_stats(b: pa.Table) -> pa.Table:
+            if b.num_rows:
+                pq_mod.write_table(
+                    b, os.path.join(tmp, f"part-{uuid.uuid4().hex}.parquet")
+                )
+            return _lineage_partial(b)
 
         parts = (
-            rd.read_parquet(
-                tmp,
-                columns=["lang", "split", "keep", "ppl", "quality_score",
-                         "bucket", "transcript_scrubbed"],
-            )
-            .map_batches(_lineage_partial, batch_format="pyarrow")
+            ds.map_batches(write_and_stats, batch_format="pyarrow", batch_size=None)
             .to_pandas()
         )
         agg = (
@@ -176,7 +201,9 @@ def run_checkpointed(
             .reset_index()
         )
         with np.errstate(over="ignore"):
-            content_hash = int(np.uint64(parts["hash_sum"].to_numpy(dtype=np.uint64).sum()))
+            content_hash = int(
+                parts["hash_sum"].to_numpy(dtype=np.int64).view(np.uint64).sum()
+            )
         lineage = {
             "partition": pid,
             "files": [os.path.basename(f) for f in part_files],

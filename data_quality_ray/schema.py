@@ -27,6 +27,7 @@ AUDIO_COLS = [
     ("rms_db", pa.float32()),
     ("peak", pa.float32()),
     ("hf_ratio", pa.float32()),
+    ("band_power", pa.list_(pa.float32())),
 ]
 SCRUB_COLS = [
     ("transcript_scrubbed", pa.string()),

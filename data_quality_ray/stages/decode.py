@@ -19,11 +19,38 @@ import pyarrow as pa
 
 from data_quality_ray.functions import codecs
 
-_FFT_WINDOW = 8192
+CANONICAL_SR = 16_000  # M6 analogue: the reference resamples every record to
+                       # one canonical rate before featurization
+                       # (eeg_features.py:87-88 resamples to 300 Hz)
+_NOTCH_HZ = (50.0, 60.0)  # M7 analogue: mains-hum removal
+                          # (eeg_features.py:89 notch at 60/120 Hz)
+# M8 analogue: named frequency bands; the LAST band is the "badness" band
+# the reference keeps (eeg_features.py:49-56 keeps only the [30,60) "bad"
+# band per channel)
+_BANDS_HZ = ((0, 250), (250, 500), (500, 1000), (1000, 2000), (2000, 4000), (4000, 8000))
 
 
-def decode_features(batch: pa.Table) -> pa.Table:
-    """Append decode_ok, n_samples, rms_db, peak, hf_ratio columns."""
+def _resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample (vectorized np.interp)."""
+    if sr_from == sr_to:
+        return pcm.astype(np.float64)
+    n_out = int(round(len(pcm) * sr_to / sr_from))
+    x_out = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    return np.interp(x_out, np.arange(len(pcm), dtype=np.float64), pcm.astype(np.float64))
+
+
+def decode_features(batch: pa.Table, *, drop_payload: bool = False) -> pa.Table:
+    """Tolerant decode + per-clip audio featurization.
+
+    Per clip: decode (None → decode_ok=False, the measure.py:23 ``-1``
+    short-circuit) → resample to CANONICAL_SR (M6) → FFT-domain notch of
+    mains-hum bins (M7) → normalized band powers over _BANDS_HZ with the
+    top band kept as ``hf_ratio`` (M8's "bad"-band role) + rms/peak.
+
+    ``drop_payload=True`` drops the heavy ``bytes`` column in the same
+    stage, so the wide binary data never crosses another operator boundary
+    (SURVEY.md §7.4 "wide binary rows").
+    """
     n = batch.num_rows
     bufs = batch["bytes"].to_pylist()
     srs = batch["sr_hz"].to_numpy()
@@ -34,28 +61,38 @@ def decode_features(batch: pa.Table) -> pa.Table:
     rms = np.full(n, -120.0, dtype=np.float32)
     peak = np.zeros(n, dtype=np.float32)
     hf = np.zeros(n, dtype=np.float32)
+    band_cols = np.zeros((n, len(_BANDS_HZ)), dtype=np.float32)
     for i in range(n):
         pcm = codecs.decode_tolerant(bufs[i], cods[i], int(srs[i]))
         if pcm is None:
             continue
         ok[i] = True
-        ns[i] = len(pcm)
-        p = float(np.mean(pcm.astype(np.float64) ** 2))
+        ns[i] = len(pcm)  # n_samples at the ORIGINAL rate (dur-rule input)
+        x = _resample_linear(pcm, int(srs[i]), CANONICAL_SR)
+        p = float(np.mean(x * x))
         rms[i] = 10.0 * np.log10(p) if p > 0 else -120.0
-        peak[i] = float(np.max(np.abs(pcm)))
-        # upper-half-spectrum energy fraction; FFT over a bounded window
-        # (first 8192 samples) — the spectral-balance feature needs a
-        # representative window, not the whole clip, and this caps per-row
-        # cost independent of clip length (same window in the oracle)
-        w = pcm[:_FFT_WINDOW].astype(np.float64)
-        spec = np.fft.rfft(w)
+        peak[i] = float(np.max(np.abs(x)))
+        spec = np.fft.rfft(x)
         e = spec.real * spec.real + spec.imag * spec.imag
+        freqs = np.fft.rfftfreq(len(x), 1.0 / CANONICAL_SR)
+        # notch: zero ±2 Hz around each mains frequency and its 2nd harmonic
+        for f0 in _NOTCH_HZ:
+            for h in (f0, 2 * f0):
+                e[(freqs >= h - 2.0) & (freqs <= h + 2.0)] = 0.0
         tot = float(e.sum())
-        hf[i] = float(e[len(e) // 2 :].sum() / tot) if tot > 0 else 0.0
-    return (
+        if tot > 0:
+            for b, (lo, hi_) in enumerate(_BANDS_HZ):
+                band_cols[i, b] = float(e[(freqs >= lo) & (freqs < hi_)].sum() / tot)
+            hf[i] = band_cols[i, -1]
+    if drop_payload:
+        batch = batch.drop_columns(["bytes"])
+    out = (
         batch.append_column("decode_ok", pa.array(ok))
         .append_column("n_samples", pa.array(ns, pa.int32()))
         .append_column("rms_db", pa.array(rms, pa.float32()))
         .append_column("peak", pa.array(peak, pa.float32()))
         .append_column("hf_ratio", pa.array(hf, pa.float32()))
+    )
+    return out.append_column(
+        "band_power", pa.array([row.tolist() for row in band_cols], pa.list_(pa.float32()))
     )
