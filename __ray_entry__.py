@@ -95,6 +95,31 @@ def _q_doc_split(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_spectrogram(sf_dir: str):
+    """Spectrogram derived dataset (reference entry point 2) — summary table."""
+    import shutil
+    import pandas as pd
+
+    from data_quality_ray.pipelines.spectrogram import create_spectrogram_dataset
+
+    out = f"/tmp/spec_out_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    counts = create_spectrogram_dataset(_clip_dir(sf_dir), out)
+    return pd.DataFrame(
+        {"split": sorted(counts), "n_rows": [counts[k] for k in sorted(counts)]}
+    )
+
+
+def _q_window_records(sf_dir: str):
+    """Windowed symbolic dataset (reference entry point 3) — window records."""
+    from data_quality_ray.pipelines import quality
+    from data_quality_ray.pipelines.windows import window_records
+
+    ds = quality.annotate(quality.read_clips(_clip_dir(sf_dir)))
+    out = window_records(ds).to_pandas()
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_ray.pipelines import dedup, documents, embeddings, relational
 
@@ -112,6 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_filter_project": relational.parts_filter_project,
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
+        "orders_running_total": relational.orders_running_total,
+        "events_asof_orders": relational.events_asof_orders,
+        "customers_without_orders": relational.customers_without_orders,
+        "distinct_langs": relational.distinct_langs,
+        "doc_lang_counts_salted": relational.doc_lang_counts_salted,
+        # derived-dataset pipelines (reference entry points 2 and 3)
+        "spectrogram_dataset": _q_spectrogram,
+        "window_dataset": _q_window_records,
         # documents / text analysis
         "doc_token_stats": documents.doc_token_stats,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -144,6 +177,11 @@ def oracle_sql() -> dict[str, str]:
         "parts_filter_project": relational.PARTS_FILTER_PROJECT_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sessions": relational.EVENTS_SESSIONS_SQL,
+        "orders_running_total": relational.ORDERS_RUNNING_TOTAL_SQL,
+        "events_asof_orders": relational.EVENTS_ASOF_ORDERS_SQL,
+        "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "distinct_langs": relational.DISTINCT_LANGS_SQL,
+        "doc_lang_counts_salted": relational.DOC_LANG_COUNTS_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

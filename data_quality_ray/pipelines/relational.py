@@ -430,3 +430,216 @@ WITH marked AS (
 SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
 FROM sized GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-customer running total (sort within group)
+# ---------------------------------------------------------------------------
+
+
+def orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """Running order-value total per customer in order-date order.
+
+    ``groupby(custkey).map_groups`` with an in-group sort — the partitioning
+    assumption (all of a customer's orders in one group) is provided by the
+    groupby shuffle; ties broken by orderkey. Fixed-point cents keep the
+    cumsum bit-identical to the SQL window function.
+    """
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = (g["o_totalprice"] * 10_000.0).round().astype("int64")
+        g = g[["o_custkey", "o_orderkey"]].copy()
+        g["running_cents"] = ((cents.cumsum() + 50) // 100).astype("int64")
+        g["running_total"] = g.pop("running_cents") / 100.0
+        return g
+
+    out = (
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        )
+        .groupby("o_custkey")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       ((sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) + 50) // 100) / 100.0 AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest order at-or-before each event (per user = custkey)
+# ---------------------------------------------------------------------------
+
+
+def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """For each event, the most recent order of that user at-or-before the
+    event time (as-of backward join on (user, ts)).
+
+    Pattern (SURVEY.md guide): sort both sides within key groups and
+    merge_asof per group. The orders side is small per key → broadcast the
+    per-user sorted order arrays once (``ray.put``), then every event batch
+    does a vectorized searchsorted — no shuffle at all.
+    """
+    orders = pd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    per_user: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for ck, g in orders.groupby("o_custkey"):
+        per_user[int(ck)] = (
+            g["o_orderdate"].to_numpy("datetime64[us]").astype("int64"),
+            g["o_orderkey"].to_numpy(),
+        )
+    ref = ray.put(per_user)
+
+    def asof(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        ev_ts = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        users = batch["user_id"].to_numpy()
+        okeys = np.full(len(batch), -1, dtype="int64")
+        for u in np.unique(users):
+            rows = lookup.get(int(u))
+            if rows is None:
+                continue
+            mask = users == u
+            pos = np.searchsorted(rows[0], ev_ts[mask], side="right") - 1
+            vals = np.where(pos >= 0, rows[1][np.maximum(pos, 0)], -1)
+            okeys[mask] = vals
+        out = pd.DataFrame(
+            {"event_id": batch["event_id"], "last_orderkey": okeys}
+        )
+        return out
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+        .map_batches(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ASOF_ORDERS_SQL = """
+SELECT e.event_id,
+       coalesce(
+         (SELECT o.o_orderkey FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+         -1) AS last_orderkey
+FROM events e
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast anti join: customers with no orders
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set: custkeys with no order since
+    1997-06-01. The recent-order key set is shipped once (``ray.put``) and
+    each customer batch filters against it — no shuffle (at scale: a Bloom
+    filter of the key set, same shape). The date predicate is pushed into
+    the orders read."""
+    import pyarrow.compute as _pc
+
+    cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
+    okeys = set(
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderdate"],
+            filter=(_pc.field("o_orderdate") >= cutoff),
+        )
+        .to_pandas()["o_custkey"]
+    )
+    ref = ray.put(okeys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = np.array([k not in keys for k in t["c_custkey"].to_pylist()], dtype=bool)
+        return t.filter(pa.array(mask))
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct / set op
+# ---------------------------------------------------------------------------
+
+
+def distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """Distinct values of a column (ds.unique — a small shuffle)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents ORDER BY lang"
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase count (skew-safe groupby demonstration on a real column)
+# ---------------------------------------------------------------------------
+
+
+def doc_lang_counts_salted(sf_dir: str, n_salt: int = 16) -> pd.DataFrame:
+    """Per-language doc counts via explicit salted two-phase aggregation.
+
+    Phase 1 groups on the SALTED key (lang, hash(doc_id) % n_salt) so a
+    Zipf-skewed language cannot hot-spot one reducer; phase 2 is a tiny
+    groupby over ≤ |langs| × n_salt partial rows (the skew treatment the
+    north rule names; stages/stats.py uses the map-side-combine variant).
+    """
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    def salt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "salt": pa.array((ids % n_salt).astype(np.int64)),
+            }
+        )
+
+    salted = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+        .map_batches(salt, batch_format="pyarrow")
+        .groupby(["lang", "salt"])
+        .aggregate(_Count(alias_name="n"))
+    )
+    out = (
+        salted.groupby("lang")
+        .aggregate(_Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+DOC_LANG_COUNTS_SQL = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+"""

@@ -1,0 +1,102 @@
+"""Windowed symbolic/lineage pipeline — the reference's third entry point
+(``create_symbolic_dataset``, SURVEY.md §3.3) re-expressed deterministic.
+
+Reference shape (eeg_datasets.py:36-107): tumbling windows of 30 consecutive
+epochs in FILE ROW ORDER; window class = 0 iff every epoch in the window has
+quality 1.0 (eeg_datasets.py:77-78); per-epoch symbolic fact strings
+``seq(id, state(label), t)`` joined with a trailing window-class fact; global
+``sequence_number`` ids and unseeded Bernoulli window-grain split.
+
+Divergences (documented in SURVEY.md §7.4, required for determinism):
+- windows keyed by ``(fragment, row_index // 30)`` derived from the clip id
+  (the reference's os.listdir-order global counter cannot exist in a
+  distributed DAG);
+- split = md5 hash of the window id (reference: unseeded random.random()).
+
+The window aggregation itself is fragment-local (windows never cross file
+boundaries, matching eeg_datasets.py:70), so it needs NO shuffle: each
+window's rows are contiguous in the annotated table; a groupby on window_id
+keeps it correct under any blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WINDOW = 30
+FRAG_ROWS = 2500  # rows per synthetic input fragment (synth/clips.py shard)
+
+
+def _window_id(clip_id: str) -> str:
+    """Deterministic window key from the clip id's row index."""
+    idx = int(clip_id.rsplit("-", 1)[1])
+    frag, row = divmod(idx, FRAG_ROWS)
+    return f"f{frag:05d}-w{row // WINDOW:04d}"
+
+
+def add_window_id(batch: pa.Table) -> pa.Table:
+    wid = [_window_id(c) for c in batch["clip_id"].to_pylist()]
+    return batch.append_column("window_id", pa.array(wid, pa.string()))
+
+
+def _window_record(g: pd.DataFrame) -> pd.DataFrame:
+    """One record per window: symbolic fact string + all-perfect class.
+
+    Class semantics mirror eeg_datasets.py:77-78: class 0 iff every row in
+    the window has quality_score == 1.0, else 1. Facts mirror the
+    ``seq(id, state(x), t)`` shape (eeg_datasets.py:80-89) with the bucket
+    as the state vocabulary.
+    """
+    g = g.sort_values("clip_id")
+    wid = g["window_id"].iloc[0]
+    all_perfect = bool((g["quality_score"] == 1.0).all())
+    facts = ". ".join(
+        f"seq({wid}, state({b}), {t})" for t, b in enumerate(g["bucket"])
+    )
+    facts += f". class({wid}, {0 if all_perfect else 1})"
+    from data_quality_ray.functions.hashing import split_of
+
+    return pd.DataFrame(
+        {
+            "window_id": [wid],
+            "n_rows": [len(g)],
+            "window_class": [0 if all_perfect else 1],
+            "n_kept": [int(g["keep"].sum())],
+            "facts": [facts],
+            "split": [split_of(wid)],
+        }
+    )
+
+
+def window_records(annotated: "object") -> "object":
+    """Annotated clip Dataset → one summary row per tumbling window."""
+    return (
+        annotated.map_batches(add_window_id, batch_format="pyarrow")
+        .groupby("window_id")
+        .map_groups(_window_record, batch_format="pandas")
+    )
+
+
+def create_window_dataset(clips_dir: str, out_dir: str) -> dict:
+    """Full pipeline: annotate → window records → parquet by split.
+
+    Returns {split: {class: count}} (the reference's class_counter role,
+    eeg_datasets.py:47-50, computed distributed)."""
+    import ray.data as rd
+
+    from data_quality_ray.pipelines import quality
+
+    ds = quality.annotate(quality.read_clips(clips_dir))
+    recs = window_records(ds)
+    recs.write_parquet(out_dir, partition_cols=["split"])
+    out: dict[str, dict[int, int]] = {}
+    for r in (
+        rd.read_parquet(out_dir, columns=["split", "window_class"])
+        .groupby(["split", "window_class"])
+        .count()
+        .take_all()
+    ):
+        out.setdefault(r["split"], {})[int(r["window_class"])] = int(r["count()"])
+    return out

@@ -1,0 +1,75 @@
+"""Derived-dataset pipelines: spectrogram (§3.2) and windows (§3.3)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from data_quality_ray.pipelines.spectrogram import N_FFT, HOP, stft_db
+from data_quality_ray.pipelines.windows import WINDOW, _window_id
+
+
+def test_stft_shape_and_peak_bin():
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 1000 * t)
+    s = stft_db(x)
+    assert s.shape == (1 + (sr - N_FFT) // HOP, N_FFT // 2 + 1)
+    # the 1 kHz bin (1000/8000*256 = bin 32) should be the max in every frame
+    assert (s.argmax(axis=1) == 32).mean() > 0.9
+    assert s.max() == 0.0  # dB re max
+
+
+def test_spectrogram_pipeline(ray_session, clips_dir_1k, tmp_path):
+    from data_quality_ray.pipelines.spectrogram import create_spectrogram_dataset
+
+    out = str(tmp_path / "spec")
+    counts = create_spectrogram_dataset(clips_dir_1k, out)
+    assert sum(counts.values()) == 1000
+    assert set(counts) <= {"train", "test"}
+    t = pq.read_table(out).to_pandas()
+    ok = t[t["decode_ok"]]
+    assert (ok["n_frames"] * ok["n_bins"] == ok["spectrogram_db"].map(len)).all()
+    bad = t[~t["decode_ok"]]
+    assert (bad["spectrogram_db"].map(len) == 0).all()
+
+
+def test_window_id_derivation():
+    assert _window_id("clip-000000000") == "f00000-w0000"
+    assert _window_id("clip-000000029") == "f00000-w0000"
+    assert _window_id("clip-000000030") == "f00000-w0001"
+    assert _window_id("clip-000002500") == "f00001-w0000"
+
+
+def test_window_dataset(ray_session, clips_dir_1k, tmp_path):
+    from data_quality_ray.pipelines.windows import create_window_dataset
+
+    out = str(tmp_path / "win")
+    counts = create_window_dataset(clips_dir_1k, out)
+    total = sum(v for d in counts.values() for v in d.values())
+    # 1000 rows in one fragment → ceil(1000/30) = 34 windows
+    assert total == 34
+    t = pq.read_table(out).to_pandas()
+    assert t["window_id"].is_unique
+    # facts string contains one seq() per row + one class() fact
+    r = t.iloc[0]
+    assert r["facts"].count("seq(") == r["n_rows"]
+    assert r["facts"].count("class(") == 1
+    # window class 0 requires every row perfect → implies n_kept == n_rows
+    perfect = t[t["window_class"] == 0]
+    assert (perfect["n_kept"] == perfect["n_rows"]).all()
+
+
+def test_sources_registry_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from data_quality_ray import sources
+
+    ds = rd.range(100)
+    for fmt in ("parquet", "csv", "json"):
+        d = str(tmp_path / fmt)
+        sources.write_table(ds, d, fmt)
+        back = sources.read_table(d, fmt)
+        assert back.count() == 100
+    with pytest.raises(NotImplementedError):
+        sources.read_table("/tmp/nope.lance", "lance")
