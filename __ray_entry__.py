@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "distinct_langs": relational.distinct_langs,
         "doc_lang_counts_salted": relational.doc_lang_counts_salted,
+        "revenue_by_priority": relational.revenue_by_priority,
+        "top_events": relational.top_events,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -182,6 +184,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "distinct_langs": relational.DISTINCT_LANGS_SQL,
         "doc_lang_counts_salted": relational.DOC_LANG_COUNTS_SQL,
+        "revenue_by_priority": relational.REVENUE_BY_PRIORITY_SQL,
+        "top_events": relational.TOP_EVENTS_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

@@ -643,3 +643,141 @@ def doc_lang_counts_salted(sf_dir: str, n_salt: int = 16) -> pd.DataFrame:
 DOC_LANG_COUNTS_SQL = """
 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Large × large partitioned hash join: lineitem ⋈ orders on orderkey
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_priority(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Discounted lineitem revenue per order priority — both sides large, so
+    this is an EXPLICIT partitioned hash join (the broadcast pattern of
+    revenue_by_segment does not apply):
+
+      add bucket = orderkey % B to both sides (tagged, schema-aligned)
+      → union → groupby(bucket) (ONE co-partitioning shuffle)
+      → per bucket: pandas merge + per-priority partial aggregate (combiner)
+      → tiny groupby(priority) merges the ≤ B × |priorities| partials.
+
+    orderkey is a dense synthetic key → buckets are uniform; a skewed key
+    would get the salt treatment of doc_lang_counts_salted. Fixed-point
+    cents keep sums exact vs the SQL oracle.
+    """
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        e4 = pc.cast(
+            pc.round(pc.multiply(rev, pa.scalar(10_000.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        key = t["l_orderkey"]
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+                ),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "rev_e4": e4,
+                "priority": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+                ),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "rev_e4": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "priority": t["o_orderpriority"],
+            }
+        )
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "rev_e4"]]
+        right = g[g["side"] == 1][["key", "priority"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"priority": pd.Series([], dtype="object"),
+                 "rev_e4": pd.Series([], dtype="int64"),
+                 "n_items": pd.Series([], dtype="int64")}
+            )
+        out = m.groupby("priority", as_index=False).agg(
+            rev_e4=("rev_e4", "sum"), n_items=("rev_e4", "size")
+        )
+        return out
+
+    joined = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .groupby("priority")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    joined["revenue"] = ((joined.pop("rev_e4").to_numpy() + 50) // 100) / 100.0
+    out = joined.rename(columns={"priority": "o_orderpriority"})
+    return out[["o_orderpriority", "revenue", "n_items"]].sort_values(
+        "o_orderpriority"
+    ).reset_index(drop=True)
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global sort + limit
+# ---------------------------------------------------------------------------
+
+
+def top_events(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Top-k events by value (distributed sort → limit); ties by event_id."""
+
+    def to_e6(t: pa.Table) -> pa.Table:
+        e6 = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        return pa.table({"event_id": t["event_id"], "value_e6": e6})
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "value"])
+        .map_batches(to_e6, batch_format="pyarrow")
+        .sort(["value_e6", "event_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["value"] = ((out.pop("value_e6").to_numpy() + 5000) // 10000) / 100.0
+    return out[["event_id", "value"]].reset_index(drop=True)
+
+
+TOP_EVENTS_SQL = """
+SELECT event_id,
+       ((CAST(round(value * 1000000) AS BIGINT) + 5000) // 10000) / 100.0 AS value
+FROM events
+ORDER BY CAST(round(value * 1000000) AS BIGINT) DESC, event_id
+LIMIT 100
+"""
