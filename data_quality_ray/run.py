@@ -1,0 +1,67 @@
+"""CLI entry point — the shape a cluster user runs via ``ray job submit``:
+
+    ray job submit -- python -m data_quality_ray.run \
+        --input /data/clips --output /data/out --partitions 64 [--resume]
+
+Locally (this sandbox) it runs against a local Ray session. The driver-owned
+convention still holds: when Ray is already initialised (job submission,
+tests) we never re-init; standalone invocation initialises a local session
+and shuts it down on exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_quality_ray.run")
+    p.add_argument("--input", required=True, help="directory of clip parquet files")
+    p.add_argument("--output", required=True, help="output directory (partitioned)")
+    p.add_argument("--partitions", type=int, default=16, help="checkpoint partitions")
+    p.add_argument("--no-resume", action="store_true", help="recompute committed partitions")
+    p.add_argument("--num-cpus", type=int, default=None, help="cpus for a standalone local session")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+    try:
+        from data_quality_ray.pipelines.quality import run_checkpointed
+
+        summary = run_checkpointed(
+            args.input,
+            args.output,
+            n_partitions=args.partitions,
+            resume=not args.no_resume,
+        )
+        # K1 analogue (runme.py:35-36): global bucket stats JSON at the root
+        stats_path = os.path.join(args.output, "quality_stats.json")
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(summary["buckets"], f, sort_keys=True)
+        os.replace(tmp, stats_path)
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

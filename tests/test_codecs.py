@@ -58,3 +58,38 @@ def test_wav_roundtrip_header():
     dec, sr = out
     assert sr == 8000
     assert np.array_equal(dec, pcm)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=50, deadline=None)
+@given(arrays(np.int16, st.integers(1, 400)))
+def test_g711_encode_idempotent_after_roundtrip(pcm):
+    """enc(dec(enc(x))) == enc(x): one quantization, then stable."""
+    for enc, dec in ((codecs.ulaw_encode, codecs.ulaw_decode),
+                     (codecs.alaw_encode, codecs.alaw_decode)):
+        e1 = enc(pcm)
+        e2 = enc(dec(e1))
+        assert np.array_equal(e1, e2)
+
+
+@settings(max_examples=50, deadline=None)
+@given(arrays(np.int16, st.integers(1, 400)), st.sampled_from(codecs.CODECS))
+def test_decode_never_raises_and_bounded(pcm, codec):
+    buf = codecs.encode(pcm, codec, 8000)
+    out = codecs.decode_tolerant(buf, codec, 8000)
+    assert out is not None
+    assert len(out) == len(pcm)
+    assert np.isfinite(out).all()
+    assert (np.abs(out) <= 1.0).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=64), st.sampled_from(codecs.CODECS))
+def test_decode_arbitrary_bytes_never_raises(buf, codec):
+    out = codecs.decode_tolerant(buf, codec, 16000)
+    if out is not None:
+        assert np.isfinite(out).all()
