@@ -65,7 +65,13 @@ class LangIdModel:
     def score_rows(
         self, data: np.ndarray, offsets: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Score rows of an Arrow-layout byte buffer.
+        """Score rows of an Arrow-layout byte buffer — fully vectorized.
+
+        One gather + one masked ``np.add.reduceat`` over the whole batch
+        buffer scores every row at once (no per-row python loop): trigram
+        ids are computed over the concatenated buffer, positions whose
+        trigram crosses a row boundary are weight-zeroed, and per-row sums
+        come from reduceat at the row offsets.
 
         Returns (lang_idx int32, conf float32, mean_logp float32) per row;
         rows shorter than 3 bytes get lang_idx=-1, conf=0, mean_logp=-inf.
@@ -74,20 +80,31 @@ class LangIdModel:
         lang_idx = np.full(n, -1, dtype=np.int32)
         conf = np.zeros(n, dtype=np.float32)
         mean_lp = np.full(n, -np.inf, dtype=np.float32)
-        all_ids = _trigram_ids_bytes(data)  # includes boundary-crossing ids
-        L = len(self.langs)
-        for i in range(n):
-            lo, hi = offsets[i], offsets[i + 1]
-            if hi - lo < 3:
-                continue
-            ids = all_ids[lo : hi - 2]
-            s = self.logp[:, ids].sum(axis=1) / len(ids)  # per-trigram mean
-            best = int(np.argmax(s))
-            # softmax with a mild temperature over per-trigram means
-            z = np.exp((s - s[best]) * 8.0)
-            lang_idx[i] = best
-            conf[i] = 1.0 / z.sum()
-            mean_lp[i] = s[best]
+        N = len(data)
+        if N < 3 or n == 0:
+            return lang_idx, conf, mean_lp
+        all_ids = _trigram_ids_bytes(data)  # length N-2, crossing ids included
+        sel = self.logp[:, all_ids]  # (L, N-2)
+        w = np.ones(N - 2, dtype=np.float64)
+        for off in (2, 1):  # the last `off` positions before each boundary cross it
+            idx = offsets[1:] - off
+            idx = idx[(idx >= 0) & (idx < N - 2)]
+            w[idx] = 0.0
+        padded = np.zeros((sel.shape[0], N), dtype=np.float64)
+        padded[:, : N - 2] = sel * w
+        starts = np.minimum(offsets[:-1], N - 1)
+        sums = np.add.reduceat(padded, starts, axis=1)  # (L, n)
+        counts = np.maximum((offsets[1:] - offsets[:-1]) - 2, 0)
+        valid = counts > 0
+        if not valid.any():
+            return lang_idx, conf, mean_lp
+        s = sums[:, valid] / counts[valid]  # (L, n_valid) per-trigram means
+        best = np.argmax(s, axis=0)
+        s_best = s[best, np.arange(s.shape[1])]
+        z = np.exp((s - s_best[None, :]) * 8.0).sum(axis=0)
+        lang_idx[valid] = best.astype(np.int32)
+        conf[valid] = (1.0 / z).astype(np.float32)
+        mean_lp[valid] = s_best.astype(np.float32)
         return lang_idx, conf, mean_lp
 
 
@@ -105,20 +122,28 @@ class NgramLM:
         self.lam = lam
 
     def ppl_rows(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-        """Perplexity (exp of negative mean interpolated logp) per row."""
+        """Perplexity per row — vectorized (same reduceat scheme as langid)."""
         n = len(offsets) - 1
         out = np.full(n, np.inf, dtype=np.float64)
+        N = len(data)
+        if N < 3 or n == 0:
+            return out
         d = data.astype(np.int64)
         tri_all = _trigram_ids_bytes(data)
-        bi_all = (d[:-1] * 31 + d[1:]) % TABLE_SIZE if len(d) >= 2 else np.empty(0, np.int64)
-        for i in range(n):
-            lo, hi = offsets[i], offsets[i + 1]
-            if hi - lo < 3:
-                continue
-            lp = self.lam * self.logp3[tri_all[lo : hi - 2]] + (1 - self.lam) * self.logp2[
-                bi_all[lo : hi - 2]
-            ]
-            out[i] = np.exp(-lp.mean())
+        bi_all = (d[:-1] * 31 + d[1:]) % TABLE_SIZE
+        lp = self.lam * self.logp3[tri_all] + (1 - self.lam) * self.logp2[bi_all[: N - 2]]
+        w = np.ones(N - 2, dtype=np.float64)
+        for off in (2, 1):
+            idx = offsets[1:] - off
+            idx = idx[(idx >= 0) & (idx < N - 2)]
+            w[idx] = 0.0
+        padded = np.zeros(N, dtype=np.float64)
+        padded[: N - 2] = lp * w
+        starts = np.minimum(offsets[:-1], N - 1)
+        sums = np.add.reduceat(padded, starts)
+        counts = np.maximum((offsets[1:] - offsets[:-1]) - 2, 0)
+        valid = counts > 0
+        out[valid] = np.exp(-sums[valid] / counts[valid])
         return np.minimum(out, np.float64(1e9))
 
 
