@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_force": embeddings.ann_brute_force,
         "ann_lsh": embeddings.ann_lsh,
+        "ann_ivf": embeddings.ann_ivf,
         "embedding_near_dup": embeddings.embedding_near_dup,
     }
 

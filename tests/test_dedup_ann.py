@@ -105,3 +105,19 @@ def test_embedding_near_dup_finds_planted_copies(_ray):
     planted = pairs[(pairs["b"] - pairs["a"]) == embeddings.DUP_OFFSET]
     frac = len(planted) / N_DOCS
     assert frac >= 0.9, f"only {frac:.2%} of planted near-dup embeddings found"
+
+
+def test_ann_ivf_recall_vs_brute_force(_ray):
+    exact = embeddings.ann_brute_force(SF_DIR)
+    approx = embeddings.ann_ivf(SF_DIR)
+    num = den = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        num += len(e & a)
+        den += len(e)
+    recall = num / den
+    assert recall >= 0.6, f"IVF recall@5 {recall:.2f}"
+    r1 = approx[approx["rank"] == 1]
+    # the query vector itself is always in a probed cell (its own)
+    assert (r1["vec_id"].values == r1["query_id"].values).all()
