@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": _q_doc_split,
         "doc_langid": documents.doc_langid,
         "doc_ppl": documents.doc_ppl,
+        "doc_top_terms": documents.doc_top_terms,
+        "doc_length_histogram": documents.doc_length_histogram,
+        "train_char_lm_counts": documents.train_char_lm_counts,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -191,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),
         "doc_quality_flags": documents.DOC_QUALITY_FLAGS_SQL,
+        "doc_top_terms": documents.DOC_TOP_TERMS_SQL,
+        "doc_length_histogram": documents.DOC_LENGTH_HISTOGRAM_SQL,
         "doc_split": f"""
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {TEST_HEX_DIGITS_SQL}

@@ -204,3 +204,118 @@ def doc_ppl(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(ppl, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token explode → salted count → top-k terms (flat-map + skewed aggregate)
+# ---------------------------------------------------------------------------
+
+
+def doc_top_terms(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Top-k most frequent whitespace tokens across the corpus.
+
+    Flat-map shape (output rows ≫ input rows): each batch explodes to one
+    row per token with a PER-BATCH combiner (token partial counts), so the
+    shuffle moves one row per distinct token per batch, not one per token
+    occurrence — the natural-language Zipf skew ('the' everywhere) is
+    flattened by the combine before it can hot-spot a reducer.
+    Ties broken lexicographically.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(T.ws_tokens((x or "").lower()))
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        toks, ns = zip(*c.items())
+        return pa.table({"token": pa.array(list(toks), pa.string()), "n": pa.array(list(ns), pa.int64())})
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(k).to_pandas()
+    return top[["token", "n"]].reset_index(drop=True)
+
+
+DOC_TOP_TERMS_SQL = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) != '')
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length histogram (bucketed aggregate)
+# ---------------------------------------------------------------------------
+
+
+def doc_length_histogram(sf_dir: str, bucket_chars: int = 64) -> pd.DataFrame:
+    """Histogram of document lengths in fixed-width buckets."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        n = np.asarray([len(x) for x in t["text"].to_pylist()], dtype=np.int64)
+        df = _pd.DataFrame({"bucket_lo": (n // bucket_chars) * bucket_chars})
+        g = df.groupby("bucket_lo", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _docs(sf_dir, ["text"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(_Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("bucket_lo").reset_index(drop=True)
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT (length(text) // 64) * 64 AS bucket_lo, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY bucket_lo
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed n-gram LM training (mergeable-sketch shape)
+# ---------------------------------------------------------------------------
+
+
+def train_char_lm_counts(sf_dir: str, table_bits: int = 16) -> pd.DataFrame:
+    """Train a hashed char-trigram count table over the corpus, distributed.
+
+    The 'sketch' pattern: each batch emits ONE partial count table
+    (fixed-size dense vector — mergeable by addition), a tiny groupby-free
+    reduction sums them on the driver. The result is exactly the model
+    artifact NgramLM consumes. Returns the nonzero (bucket, count) rows.
+    """
+    size = 1 << table_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        from data_quality_ray.functions.models import _trigram_ids_bytes
+
+        counts = np.zeros(size, dtype=np.int64)
+        for x in t["text"].to_pylist():
+            b = np.frombuffer((" " + (x or "").lower() + " ").encode(), dtype=np.uint8)
+            ids = _trigram_ids_bytes(b)
+            if len(ids):
+                counts += np.bincount(ids, minlength=size)
+        return pa.table({"counts": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+
+    parts = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros(size, dtype=np.int64)
+    for row in parts["counts"]:
+        total += np.asarray(row, dtype=np.int64)
+    nz = np.nonzero(total)[0]
+    return pd.DataFrame({"bucket": nz.astype(np.int64), "count": total[nz]})

@@ -148,6 +148,7 @@ def run_checkpointed(
     *,
     n_partitions: int = 4,
     resume: bool = True,
+    kept_only: bool = False,
 ) -> dict:
     """Quality pipeline over a directory of clip parquet files, resumable.
 
@@ -170,6 +171,14 @@ def run_checkpointed(
         ds = annotate(read_clips(part_files))
         out_cols = [f.name for f in schema.OUTPUT_SCHEMA]
         ds = ds.select_columns(out_cols)
+        if kept_only:
+            # annotate-then-select (§2.3 note): lineage stats below still
+            # describe only what is WRITTEN — the kept subset
+            import pyarrow.compute as _pc
+
+            ds = ds.map_batches(
+                lambda t: t.filter(_pc.field("keep")), batch_format="pyarrow"
+            )
         tmp = os.path.join(out_dir, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
         # ONE streaming execution: each task writes its block as a parquet

@@ -23,6 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="output directory (partitioned)")
     p.add_argument("--partitions", type=int, default=16, help="checkpoint partitions")
     p.add_argument("--no-resume", action="store_true", help="recompute committed partitions")
+    p.add_argument("--kept-only", action="store_true", help="write only keep=True rows")
     p.add_argument("--num-cpus", type=int, default=None, help="cpus for a standalone local session")
     args = p.parse_args(argv)
 
@@ -49,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             n_partitions=args.partitions,
             resume=not args.no_resume,
+            kept_only=args.kept_only,
         )
         # K1 analogue (runme.py:35-36): global bucket stats JSON at the root
         stats_path = os.path.join(args.output, "quality_stats.json")

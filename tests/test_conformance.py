@@ -74,3 +74,22 @@ def test_rows_only_queries_run(ray_session):
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()
         assert len(out) >= 0 and len(out.columns) >= 2, name
+
+
+def test_train_char_lm_counts_matches_local(ray_session):
+    """Distributed trigram counting == single-process counting."""
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.functions.models import _trigram_ids_bytes
+    from data_quality_ray.pipelines.documents import train_char_lm_counts
+
+    got = entrymod.queries()["train_char_lm_counts"](SF_DIR)
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
+    total = np.zeros(1 << 16, dtype=np.int64)
+    for x in texts:
+        b = np.frombuffer((" " + x.lower() + " ").encode(), dtype=np.uint8)
+        ids = _trigram_ids_bytes(b)
+        total += np.bincount(ids, minlength=1 << 16)
+    nz = np.nonzero(total)[0]
+    assert (got["bucket"].to_numpy() == nz).all()
+    assert (got["count"].to_numpy() == total[nz]).all()
