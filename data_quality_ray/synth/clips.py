@@ -268,5 +268,8 @@ def ensure_clips(name: str, root: str = "/tmp/graft_clips", *, use_ray: bool = T
     n = CLIP_SF_ROWS[name]
     out = clips_path(name, root)
     if not os.path.exists(os.path.join(out, "_DONE")):
-        generate_clips(out, n, SEED, use_ray=use_ray and n > 20_000)
+        import ray
+
+        distributed = use_ray and n > 5_000 and ray.is_initialized()
+        generate_clips(out, n, SEED, use_ray=distributed)
     return out
