@@ -177,6 +177,9 @@ def string_parts(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarra
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        # blocks are far below 2GB — safe to narrow for the int32-offset path
+        arr = arr.cast(pa.string())
     lowered = pc.utf8_lower(arr)
     padded = pc.binary_join_element_wise(
         pa.scalar(" "), pc.fill_null(lowered, ""), pa.scalar(" "), ""

@@ -132,8 +132,15 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
             for v in th:
                 h = h * _MIX1 ^ np.uint64(v)
         return np.array([h], dtype=np.uint64)
+    # per-position multipliers (first three match the historical k=3 mix)
+    mults = [_MIX1, _MIX2, _MIX3] + [
+        _MIX1 * np.uint64(2 * j + 1) for j in range(3, k)
+    ]
+    n_sh = len(toks) - k + 1
     with np.errstate(over="ignore"):
-        sh = th[:-2] * _MIX1 ^ th[1:-1] * _MIX2 ^ th[2:] * _MIX3
+        sh = th[:n_sh] * mults[0]
+        for j in range(1, k):
+            sh = sh ^ th[j : j + n_sh] * mults[j]
     return np.unique(sh)
 
 

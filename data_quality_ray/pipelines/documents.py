@@ -114,12 +114,18 @@ def doc_scrub_sql() -> str:
     scrub = T.scrub_sql_expr("text")
     email, phone, sid = (T.SCRUB_RULES[i][3] for i in range(3))
     tox = T.SCRUB_RULES[3][3]
+    # had_tox must be evaluated on the POST-PII-scrub text, exactly like
+    # scrub_one (a toxic substring inside an email/phone span is consumed
+    # by the PII mask first and must not count)
+    pii_scrubbed = "text"
+    for _, _, mask, pat in T.SCRUB_RULES[:3]:
+        pii_scrubbed = f"regexp_replace({pii_scrubbed}, '{pat}', '{mask}', 'g')"
     return f"""
 SELECT doc_id,
        {scrub} AS text_scrubbed,
        (regexp_matches(text, '{email}') OR regexp_matches(text, '{phone}')
-        OR regexp_matches(text, '{sid}'))         AS had_pii,
-       regexp_matches(text, '(?i){tox}')          AS had_tox
+        OR regexp_matches(text, '{sid}'))                AS had_pii,
+       regexp_matches({pii_scrubbed}, '(?i){tox}')       AS had_tox
 FROM documents ORDER BY doc_id
 """
 
@@ -173,18 +179,19 @@ FROM m ORDER BY doc_id
 
 
 def doc_langid(sf_dir: str) -> pd.DataFrame:
-    """Predicted language + confidence per document (hashed-trigram NB)."""
+    """Predicted language + confidence per document (hashed-trigram NB),
+    run as the documented stateful actor-pool stage (stages/langid.py)."""
     from data_quality_ray.stages.langid import LangIdStage
 
-    pool = config.actor_pool_bounds()
     out = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(
-            lambda t: LangIdStage(column="text")(t).select(
-                ["doc_id", "lang", "lang_conf"]
-            ),
+            LangIdStage,
+            fn_constructor_kwargs={"column": "text"},
             batch_format="pyarrow",
+            concurrency=config.actor_pool_bounds(),
         )
+        .select_columns(["doc_id", "lang", "lang_conf"])
         .to_pandas()
     )
     out["lang_conf"] = out["lang_conf"].round(4)
@@ -308,7 +315,7 @@ def train_char_lm_counts(sf_dir: str, table_bits: int = 16) -> pd.DataFrame:
         counts = np.zeros(size, dtype=np.int64)
         for x in t["text"].to_pylist():
             b = np.frombuffer((" " + (x or "").lower() + " ").encode(), dtype=np.uint8)
-            ids = _trigram_ids_bytes(b)
+            ids = _trigram_ids_bytes(b) % size  # fold the 2^16 id space into this table
             if len(ids):
                 counts += np.bincount(ids, minlength=size)
         return pa.table({"counts": pa.array([counts.tolist()], pa.list_(pa.int64()))})

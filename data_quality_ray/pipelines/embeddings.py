@@ -202,8 +202,13 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
 
     def noisy_copy(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
-        rng = np.random.default_rng(ids[0] if len(ids) else 0)
-        noisy = mat + 0.01 * rng.standard_normal(mat.shape)
+        # per-ROW seeded noise: a row's draw is a pure function of its
+        # vec_id, independent of batch/block boundaries (determinism
+        # contract — identical output at any cluster size)
+        noise = np.stack(
+            [np.random.default_rng(int(v) + 977).standard_normal(mat.shape[1]) for v in ids]
+        ) if len(ids) else np.zeros_like(mat)
+        noisy = mat + 0.01 * noise
         return pa.table(
             {
                 "vec_id": pa.array(ids + DUP_OFFSET, pa.int64()),

@@ -164,8 +164,12 @@ def run_checkpointed(
     if not files:
         raise FileNotFoundError(f"no parquet files in {input_dir}")
     plan = ckpt.partition_plan(files, n_partitions)
-    todo = ckpt.pending(plan, out_dir) if resume else plan
     os.makedirs(out_dir, exist_ok=True)
+    if resume:
+        todo = ckpt.pending(plan, out_dir)
+    else:
+        ckpt.pending(plan, out_dir)  # side effect: prune stale old-plan partitions
+        todo = plan
 
     for pid, part_files in sorted(todo.items()):
         ds = annotate(read_clips(part_files))
@@ -191,9 +195,19 @@ def run_checkpointed(
 
         def write_and_stats(b: pa.Table) -> pa.Table:
             if b.num_rows:
-                pq_mod.write_table(
-                    b, os.path.join(tmp, f"part-{uuid.uuid4().hex}.parquet")
-                )
+                # DETERMINISTIC file name derived from the batch's identity
+                # (first/last clip_id + row count): a Ray task retry that
+                # reprocesses the same block overwrites the same file
+                # instead of appending a second copy — the write is
+                # idempotent, matching the lineage-record counts.
+                import hashlib as _hl
+
+                first = b["clip_id"][0].as_py()
+                last = b["clip_id"][b.num_rows - 1].as_py()
+                tag = _hl.blake2b(
+                    f"{first}\x1f{last}\x1f{b.num_rows}".encode(), digest_size=12
+                ).hexdigest()
+                pq_mod.write_table(b, os.path.join(tmp, f"part-{tag}.parquet"))
             return _lineage_partial(b)
 
         parts = (

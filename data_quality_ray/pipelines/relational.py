@@ -161,7 +161,7 @@ def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
             {
                 "c_mktsegment": batch["o_custkey"].map(seg),
                 # fixed-point: summation-order-independent (see q1)
-                "price_e4": (batch["o_totalprice"] * 10_000.0).round().astype("int64"),
+                "price_e4": np.floor(batch["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64"),
             }
         )
         # combiner: one partial row per segment per batch
@@ -344,7 +344,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
                 "event_type": batch["event_type"],
                 "window_start": w,
                 # fixed-point 1e-6 units (summation-order independence, see q1)
-                "value_e6": (batch["value"] * 1e6).round().astype("int64"),
+                "value_e6": np.floor(batch["value"].to_numpy() * 1e6 + 0.5).astype("int64"),
             }
         )
         return out.groupby(["event_type", "window_start"], as_index=False).agg(
@@ -448,7 +448,7 @@ def orders_running_total(sf_dir: str) -> pd.DataFrame:
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = (g["o_totalprice"] * 10_000.0).round().astype("int64")
+        cents = pd.Series(np.floor(g["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64"), index=g.index)
         g = g[["o_custkey", "o_orderkey"]].copy()
         g["running_cents"] = ((cents.cumsum() + 50) // 100).astype("int64")
         g["running_total"] = g.pop("running_cents") / 100.0

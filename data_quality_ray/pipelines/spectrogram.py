@@ -71,9 +71,10 @@ class SpectrogramStage:
             frames[i] = s.shape[0]
             bins[i] = s.shape[1]
             specs.append(s.reshape(-1).tolist())
+        from data_quality_ray.pipelines.windows import fragment_key
+
         split = [
-            split_of(cid if self.clip_grain else cid.rsplit("-", 1)[0] + f"-frag{int(cid.rsplit('-', 1)[1]) // 2500:04d}")
-            for cid in ids
+            split_of(cid if self.clip_grain else fragment_key(cid)) for cid in ids
         ]
         return pa.table(
             {

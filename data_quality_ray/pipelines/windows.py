@@ -29,9 +29,27 @@ WINDOW = 30
 FRAG_ROWS = 2500  # rows per synthetic input fragment (synth/clips.py shard)
 
 
+def _row_index(clip_id: str) -> int | None:
+    """Numeric row index from a 'prefix-<int>' clip id; None if absent."""
+    tail = clip_id.rsplit("-", 1)[-1]
+    return int(tail) if tail.isdigit() else None
+
+
+def fragment_key(clip_id: str) -> str:
+    """Deterministic fragment key: row-index grouping for sequential ids,
+    falling back to the id itself (one 'fragment' per id prefix-free corpus
+    still splits deterministically — tolerant-by-design, never raises)."""
+    idx = _row_index(clip_id)
+    if idx is None:
+        return f"frag-{clip_id}"
+    return f"frag-{idx // FRAG_ROWS:05d}"
+
+
 def _window_id(clip_id: str) -> str:
     """Deterministic window key from the clip id's row index."""
-    idx = int(clip_id.rsplit("-", 1)[1])
+    idx = _row_index(clip_id)
+    if idx is None:
+        return f"f-{clip_id}-w0000"  # unknown layout: one window per clip
     frag, row = divmod(idx, FRAG_ROWS)
     return f"f{frag:05d}-w{row // WINDOW:04d}"
 

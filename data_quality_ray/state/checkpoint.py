@@ -69,8 +69,32 @@ def committed(out_dir: str) -> set[str]:
 
 
 def pending(plan: dict[str, list[str]], out_dir: str) -> dict[str, list[str]]:
+    """Reconcile committed state against the CURRENT plan; return what's left.
+
+    A committed partition counts only if its lineage record covers EXACTLY
+    the files the current plan assigns to that id — a rerun with a different
+    ``n_partitions`` (or a changed input listing) re-keys the plan, and
+    trusting the bare partition id would silently skip unprocessed files.
+    Mismatched partitions are recomputed, and committed partitions whose id
+    no longer EXISTS in the plan are stale leftovers of the old plan: their
+    data + lineage are removed (otherwise their rows would double-count
+    next to the re-keyed output).
+    """
     done = committed(out_dir)
-    return {pid: files for pid, files in plan.items() if pid not in done}
+    out: dict[str, list[str]] = {}
+    for pid, files in plan.items():
+        if pid in done:
+            with open(lineage_path(out_dir, pid)) as f:
+                rec = json.load(f)
+            if rec.get("files") == [os.path.basename(p) for p in files]:
+                continue  # genuinely committed under this plan
+        out[pid] = files
+    for pid in done - set(plan):
+        d = data_dir(out_dir, pid)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.remove(lineage_path(out_dir, pid))
+    return out
 
 
 def commit(out_dir: str, pid: str, tmp_data_dir: str, lineage: dict) -> None:

@@ -150,3 +150,42 @@ def test_split_partition_property(run_both):
     assert set(got["split"].unique()) <= {"train", "test"}
     frac = (got["split"] == "test").mean()
     assert 0.15 < frac < 0.35  # md5 first-digit in {0,1,2,3} ≈ 0.25
+
+
+def test_resume_with_different_partition_count_recomputes(ray_session, clips_dir_1k, tmp_path_factory):
+    """A rerun with a different --partitions must NOT trust stale partition
+    ids: lineage file-membership is validated, mismatches recompute."""
+    from data_quality_ray.pipelines import quality
+    from data_quality_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path_factory.mktemp("replan"))
+    quality.run_checkpointed(clips_dir_1k, out, n_partitions=4)
+    assert len(ckpt.committed(out)) == 4
+    # rerun with coarser plan: ids overlap (00000 etc.) but cover MORE files
+    summary = quality.run_checkpointed(clips_dir_1k, out, n_partitions=2)
+    t = _read_out(out).to_pandas()
+    assert summary["rows"] == 1000
+    assert len(t) == 1000 and t["clip_id"].is_unique
+
+
+def test_block_write_is_idempotent(ray_session, clips_dir_1k, tmp_path_factory):
+    """Re-running an uncommitted partition (simulated task retry / crash
+    before commit) must not leave duplicate part files behind."""
+    import glob as g
+
+    from data_quality_ray.pipelines import quality
+    from data_quality_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path_factory.mktemp("idem"))
+    quality.run_checkpointed(clips_dir_1k, out, n_partitions=1)
+    files1 = sorted(os.path.basename(p) for p in g.glob(os.path.join(out, "part=*", "*.parquet")))
+    # wipe lineage (crash-before-commit shape) and rerun: deterministic file
+    # names mean the same blocks produce the same file set
+    import shutil
+
+    shutil.rmtree(ckpt.lineage_dir(out))
+    quality.run_checkpointed(clips_dir_1k, out, n_partitions=1)
+    files2 = sorted(os.path.basename(p) for p in g.glob(os.path.join(out, "part=*", "*.parquet")))
+    assert files1 == files2
+    t = _read_out(out).to_pandas()
+    assert len(t) == 1000 and t["clip_id"].is_unique
