@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts_salted": relational.doc_lang_counts_salted,
         "revenue_by_priority": relational.revenue_by_priority,
         "top_events": relational.top_events,
+        "events_value_extremes": relational.events_value_extremes,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_counts_salted": relational.DOC_LANG_COUNTS_SQL,
         "revenue_by_priority": relational.REVENUE_BY_PRIORITY_SQL,
         "top_events": relational.TOP_EVENTS_SQL,
+        "events_value_extremes": relational.EVENTS_VALUE_EXTREMES_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

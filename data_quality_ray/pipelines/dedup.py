@@ -410,3 +410,53 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             rows.append((int(a), int(b), round(j, 6)))
     out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components (scale path for cluster assignment)
+# ---------------------------------------------------------------------------
+
+
+def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) -> pd.DataFrame:
+    """Min-label propagation over the candidate-pair graph as Ray Data
+    groupby rounds — the scale path for when the verified pair list is too
+    large for driver union-find (the documented smallness assumption above).
+
+    Each round: explode every pair (a,b) into (a,label_b),(b,label_a) plus
+    each node's current label, groupby(node).min(label). Converges in
+    O(diameter) rounds; near-dup graphs are almost all tiny cliques, so 2-4
+    rounds suffice. Returns (doc_id, cluster_rep).
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Min as _Min
+
+    label = {i: i for i in all_ids}
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": sorted(all_ids), "cluster_rep": sorted(all_ids)})
+    edges = pairs[["a", "b"]].to_numpy()
+    for _ in range(8):  # diameter bound; converges long before this
+        la = np.array([label[a] for a in edges[:, 0]])
+        lb = np.array([label[b] for b in edges[:, 1]])
+        nodes = np.concatenate([edges[:, 0], edges[:, 1], np.array(all_ids)])
+        labels = np.concatenate([lb, la, np.array([label[i] for i in all_ids])])
+        tbl = pa.table({"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())})
+        agg = (
+            _rd.from_arrow(tbl)
+            .groupby("node")
+            .aggregate(_Min("label", alias_name="label"))
+            .to_pandas()
+        )
+        new = dict(zip(agg["node"], agg["label"]))
+        # propagate through labels (pointer jump): label[label[x]]
+        changed = False
+        for n in new:
+            lbl = new[n]
+            root = new.get(lbl, lbl)
+            if root != label[n]:
+                label[n] = root
+                changed = True
+        if not changed:
+            break
+    return pd.DataFrame(
+        {"doc_id": sorted(all_ids), "cluster_rep": [label[i] for i in sorted(all_ids)]}
+    )

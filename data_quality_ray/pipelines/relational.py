@@ -781,3 +781,45 @@ FROM events
 ORDER BY CAST(round(value * 1000000) AS BIGINT) DESC, event_id
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Min / Max / Count aggregate (integer-exact extremes)
+# ---------------------------------------------------------------------------
+
+
+def events_value_extremes(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type min/max value (exact in 1e-6 fixed point) + count."""
+
+    def to_e6(t: pa.Table) -> pa.Table:
+        e6 = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        return pa.table({"event_type": t["event_type"], "value_e6": e6})
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(to_e6, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Min("value_e6", alias_name="min_e6"),
+            Max("value_e6", alias_name="max_e6"),
+            Count(alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    out["min_value"] = out.pop("min_e6") / 1e6
+    out["max_value"] = out.pop("max_e6") / 1e6
+    return out[["event_type", "min_value", "max_value", "n_events"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+EVENTS_VALUE_EXTREMES_SQL = """
+SELECT event_type,
+       min(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS min_value,
+       max(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS max_value,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -121,3 +121,16 @@ def test_ann_ivf_recall_vs_brute_force(_ray):
     r1 = approx[approx["rank"] == 1]
     # the query vector itself is always in a probed cell (its own)
     assert (r1["vec_id"].values == r1["query_id"].values).all()
+
+
+def test_distributed_components_match_union_find(_ray):
+    """The groupby min-label propagation (scale path) must produce exactly
+    the same clusters as driver union-find on the same verified pairs."""
+    import pandas as pd
+
+    pairs = pd.DataFrame({"a": [1, 2, 10, 11, 30], "b": [2, 3, 11, 12, 31]})
+    all_ids = list(range(1, 4)) + list(range(10, 13)) + [30, 31, 99]
+    via_uf = dedup._connected_components([tuple(r) for r in pairs.to_numpy()])
+    expected = {i: via_uf.get(i, i) for i in all_ids}
+    got = dedup.connected_components_distributed(pairs, all_ids)
+    assert dict(zip(got["doc_id"], got["cluster_rep"])) == expected
