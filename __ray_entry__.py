@@ -17,12 +17,9 @@ from typing import Any
 
 def _clip_dir(sf_dir: str) -> str:
     """Deterministic synthetic clip table matching the sf name (cached)."""
-    from data_quality_ray.synth.clips import CLIP_SF_ROWS, ensure_clips
+    from data_quality_ray.synth.clips import clip_sf_name, ensure_clips
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    if name not in CLIP_SF_ROWS:
-        name = "sf0.001"
-    return os.path.join(ensure_clips(name), "clips")
+    return os.path.join(ensure_clips(clip_sf_name(sf_dir)), "clips")
 
 
 def entry() -> Any:
@@ -102,9 +99,13 @@ def _q_spectrogram(sf_dir: str):
 
     from data_quality_ray.pipelines.spectrogram import create_spectrogram_dataset
 
-    out = f"/tmp/spec_out_{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(out, ignore_errors=True)
-    counts = create_spectrogram_dataset(_clip_dir(sf_dir), out)
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spec_out_")  # private per call: safe under
+    try:                                        # concurrent invocations
+        counts = create_spectrogram_dataset(_clip_dir(sf_dir), out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return pd.DataFrame(
         {"split": sorted(counts), "n_rows": [counts[k] for k in sorted(counts)]}
     )

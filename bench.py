@@ -62,21 +62,15 @@ def main() -> None:
 
     import ray
 
-    ray.init(
-        address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-    )
-    from ray.data import DataContext
+    from data_quality_ray.session import init_local_session
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    init_local_session(num_cpus)
 
-    from data_quality_ray.synth.clips import CLIP_SF_ROWS, ensure_clips
+    from data_quality_ray.synth.clips import CLIP_SF_ROWS, clip_sf_name, ensure_clips
     from data_quality_ray.pipelines import quality, relational, dedup, embeddings
 
     # ---- untimed setup: synth clips (cached) + page-cache warm ----
-    name = sf_name if sf_name in CLIP_SF_ROWS else "sf0.01"
+    name = clip_sf_name(sf_dir)
     clips_root = ensure_clips(name)
     clips_dir = os.path.join(clips_root, "clips")
     n_rows = CLIP_SF_ROWS[name]

@@ -31,16 +31,9 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
-        from ray.data import DataContext
+        from data_quality_ray.session import init_local_session
 
-        DataContext.get_current().enable_progress_bars = False
+        init_local_session(args.num_cpus)
 
     try:
         from data_quality_ray.pipelines.quality import run_checkpointed

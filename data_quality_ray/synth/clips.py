@@ -260,16 +260,45 @@ def clips_path(name: str, root: str = "/tmp/graft_clips") -> str:
     return os.path.join(root, name)
 
 
+def clip_sf_name(sf_dir: str) -> str:
+    """Map an sf dir to a known clip scale name; warn (stderr) + fall back
+    to sf0.01 for unknown names rather than silently mislabeling scales."""
+    import sys
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name in CLIP_SF_ROWS:
+        return name
+    print(
+        f"[data_quality_ray] unknown scale {name!r}; using clip table sf0.01",
+        file=sys.stderr,
+    )
+    return "sf0.01"
+
+
 def ensure_clips(name: str, root: str = "/tmp/graft_clips", *, use_ray: bool = True) -> str:
     """Generate-once cache of the clip table for a scale-factor name.
 
+    Concurrency-safe: generation happens in a private tmp dir which is
+    atomically renamed into place; if another process wins the rename race,
+    its (identical, deterministic) output is used and ours is discarded.
     Returns the directory containing ``clips/`` + ``meta/``.
     """
+    import shutil
+    import uuid as _uuid
+
     n = CLIP_SF_ROWS[name]
     out = clips_path(name, root)
-    if not os.path.exists(os.path.join(out, "_DONE")):
-        import ray
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    import ray
 
-        distributed = use_ray and n > 5_000 and ray.is_initialized()
-        generate_clips(out, n, SEED, use_ray=distributed)
+    distributed = use_ray and n > 5_000 and ray.is_initialized()
+    tmp = f"{out}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:6]}"
+    generate_clips(tmp, n, SEED, use_ray=distributed)
+    os.makedirs(root, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another process committed first; its content is identical
+        shutil.rmtree(tmp, ignore_errors=True)
     return out

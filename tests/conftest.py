@@ -8,18 +8,10 @@ import pytest
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
-    from ray.data import DataContext
 
-    ray.init(
-        address="local",
-        num_cpus=4,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    from data_quality_ray.session import init_local_session
+
+    init_local_session(num_cpus=4)
     yield
     ray.shutdown()
 

@@ -66,14 +66,18 @@ def test_query_matches_oracle(name, con, ray_session):
 
 
 def test_rows_only_queries_run(ray_session):
-    """Queries without SQL oracles must still run and return rows."""
+    """EVERY query without a SQL oracle — including the __ray_entry__
+    wrapper glue (quality_*, spectrogram/window) and entry() itself — must
+    run and return a non-empty result."""
     qs = entrymod.queries()
-    for name in ("doc_langid", "doc_ppl", "minhash_dedup", "simhash_dedup",
-                 "ngram_jaccard_pairs", "ann_lsh", "embedding_near_dup"):
+    rows_only = sorted(set(qs) - set(entrymod.oracle_sql()))
+    for name in rows_only:
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()
-        assert len(out) >= 0 and len(out.columns) >= 2, name
+        assert len(out) > 0 and len(out.columns) >= 2, name
+    ds = entrymod.entry()
+    assert ds.count() > 0
 
 
 def test_train_char_lm_counts_matches_local(ray_session):
@@ -81,7 +85,6 @@ def test_train_char_lm_counts_matches_local(ray_session):
     import pyarrow.parquet as pq
 
     from data_quality_ray.functions.models import _trigram_ids_bytes
-    from data_quality_ray.pipelines.documents import train_char_lm_counts
 
     got = entrymod.queries()["train_char_lm_counts"](SF_DIR)
     texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()

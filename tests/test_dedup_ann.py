@@ -38,19 +38,30 @@ def _same_cluster_rate(out: pd.DataFrame) -> float:
     return float(np.mean(hits))
 
 
-def test_minhash_dedup_finds_planted_near_dups(_ray):
-    out = dedup.minhash_dedup(SF_DIR)
+@pytest.fixture(scope="module")
+def minhash_result(_ray):
+    """One distributed minhash run shared by the assertions below."""
+    return dedup.minhash_dedup(SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def brute_force_result(_ray):
+    return embeddings.ann_brute_force(SF_DIR)
+
+
+def test_minhash_dedup_finds_planted_near_dups(minhash_result):
+    out = minhash_result
     assert len(out) == 2 * N_DOCS
     rate = _same_cluster_rate(out)
     assert rate >= 0.95, f"only {rate:.2%} of planted near-dups found"
 
 
-def test_minhash_merges_are_genuinely_similar(_ray):
+def test_minhash_merges_are_genuinely_similar(minhash_result):
     """Any two ORIGINAL docs sharing a cluster must have high exact jaccard
     (no false positives from the LSH/banding)."""
     import pyarrow.parquet as pq
 
-    out = dedup.minhash_dedup(SF_DIR)
+    out = minhash_result
     texts = (
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         .to_pandas()
@@ -83,8 +94,8 @@ def test_ngram_jaccard_pairs(_ray):
     assert (out["jaccard"] >= 0.5).all()
 
 
-def test_ann_lsh_recall_vs_brute_force(_ray):
-    exact = embeddings.ann_brute_force(SF_DIR)
+def test_ann_lsh_recall_vs_brute_force(brute_force_result):
+    exact = brute_force_result
     approx = embeddings.ann_lsh(SF_DIR)
     recall_num = 0
     recall_den = 0
@@ -107,8 +118,8 @@ def test_embedding_near_dup_finds_planted_copies(_ray):
     assert frac >= 0.9, f"only {frac:.2%} of planted near-dup embeddings found"
 
 
-def test_ann_ivf_recall_vs_brute_force(_ray):
-    exact = embeddings.ann_brute_force(SF_DIR)
+def test_ann_ivf_recall_vs_brute_force(brute_force_result):
+    exact = brute_force_result
     approx = embeddings.ann_ivf(SF_DIR)
     num = den = 0
     for qid in exact["query_id"].unique():

@@ -120,7 +120,15 @@ def test_resume_skips_committed_and_no_duplicates(ray_session, clips_dir_1k, tmp
         shutil.copytree(ckpt.data_dir(full, pid), ckpt.data_dir(partial, pid))
         shutil.copy(ckpt.lineage_path(full, pid), ckpt.lineage_path(partial, pid))
 
+    # record the copied partitions' file mtimes: resume must NOT rewrite them
+    pre_mtimes = {
+        p: os.path.getmtime(p)
+        for pid in sorted(ckpt.committed(partial))
+        for p in glob.glob(os.path.join(ckpt.data_dir(partial, pid), "*.parquet"))
+    }
     quality.run_checkpointed(clips_dir_1k, partial, n_partitions=4)  # resume
+    for p, m in pre_mtimes.items():
+        assert os.path.getmtime(p) == m, f"resume rewrote committed file {p}"
     t_full = _read_out(full).to_pandas().sort_values("clip_id").reset_index(drop=True)
     t_res = _read_out(partial).to_pandas().sort_values("clip_id").reset_index(drop=True)
     assert len(t_res) == len(t_full) == 1000
