@@ -299,6 +299,11 @@ def ensure_clips(name: str, root: str = "/tmp/graft_clips", *, use_ray: bool = T
     try:
         os.rename(tmp, out)
     except OSError:
-        # another process committed first; its content is identical
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(os.path.join(out, "_DONE")):
+            # another process committed first; its content is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale partial dir (earlier crash): replace it with ours
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
     return out
