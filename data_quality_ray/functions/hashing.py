@@ -122,3 +122,44 @@ def u64_seed(*parts: object) -> int:
 def stable_u64(s: str) -> int:
     """Deterministic 64-bit hash of a string (no PYTHONHASHSEED)."""
     return u64_seed(s)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (vectorized, for broadcast semi/anti joins at scale)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Plain k-hash Bloom filter over int64 keys, fully vectorized.
+
+    Build once on the small(er) side, ``ray.put`` it, and prefilter batches
+    of the big side before an exact check — at 100 TB the bloom prunes the
+    vast majority of rows without shipping the full key set to every task.
+    Hash family: double hashing h1 + i*h2 from two multiply-shift hashes.
+    """
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5):
+        assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+        self.mask = np.uint64(n_bits - 1)
+        self.k = n_hashes
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        x = keys.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+            h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(15) | np.uint64(1)
+            return np.stack(
+                [(h1 + np.uint64(i) * h2) & self.mask for i in range(self.k)]
+            )  # (k, n)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(np.asarray(keys)).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(keys))  # (k, n)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=0).astype(bool)

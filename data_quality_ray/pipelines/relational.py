@@ -823,3 +823,93 @@ SELECT event_type,
        count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join: orders of users active in events
+# ---------------------------------------------------------------------------
+
+
+def orders_of_active_users(sf_dir: str) -> pd.DataFrame:
+    """Semi join: orders whose customer appears as an events user.
+
+    Scale shape: a Bloom filter over the distinct user ids is broadcast and
+    prefilters each orders batch (no false negatives); surviving rows are
+    confirmed against the exact key set (also broadcast here; at 100 TB the
+    confirm step is a partitioned lookup, and the bloom has already pruned
+    ~|non-members| of the traffic). Result is exact — matches the SQL
+    semi-join oracle.
+    """
+    from data_quality_ray.functions.hashing import BloomFilter
+
+    users = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+        .unique("user_id")
+    )
+    users = np.asarray(sorted(users), dtype=np.int64)
+    bloom = BloomFilter(n_bits=1 << 16, n_hashes=5)
+    bloom.add(users)
+    ref = ray.put((bloom, set(users.tolist())))
+
+    def semi(t: pa.Table) -> pa.Table:
+        b, exact = ray.get(ref)
+        keys = t["o_custkey"].to_numpy()
+        maybe = b.contains(keys)  # bloom prefilter: no false negatives
+        confirmed = maybe.copy()
+        idx = np.nonzero(maybe)[0]
+        confirmed[idx] = [keys[i] in exact for i in idx]  # exact confirm
+        return t.filter(pa.array(confirmed))
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_OF_ACTIVE_USERS_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT DISTINCT user_id FROM events)
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k: each customer's 3 largest orders
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k rows within every group (groupby → in-group sort + head)."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(g["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64")
+        g = g.assign(price_e4=cents)
+        g = g.sort_values(["price_e4", "o_orderkey"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        g["totalprice"] = ((g.pop("price_e4").to_numpy() + 50) // 100) / 100.0
+        return g[["o_custkey", "rank", "o_orderkey", "totalprice"]]
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, rank, o_orderkey, totalprice
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ((CAST(round(o_totalprice * 10000) AS BIGINT) + 50) // 100) / 100.0 AS totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(round(o_totalprice * 10000) AS BIGINT) DESC,
+                                     o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""

@@ -145,3 +145,21 @@ def test_decision_score_always_in_discrete_set(ok, conf, ppl, tox, flags):
     out = decision_batch(_decision_input([ok], [conf], [ppl], [tox], [flags]))
     assert out["quality_score"].to_pylist()[0] in (0.0, 0.2, 0.5, 1.0)
     assert out["keep"].to_pylist()[0] == (out["quality_score"].to_pylist()[0] == 1.0)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from data_quality_ray.functions.hashing import BloomFilter
+
+    rng = np.random.default_rng(1)
+    members = rng.choice(10_000_000, 5_000, replace=False).astype(np.int64)
+    bloom = BloomFilter(n_bits=1 << 16, n_hashes=5)
+    bloom.add(members)
+    assert bloom.contains(members).all()  # never a false negative
+    non = np.setdiff1d(rng.choice(10_000_000, 50_000, replace=False), members)[:20_000]
+    fp = bloom.contains(non.astype(np.int64)).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f}"
