@@ -121,6 +121,13 @@ def _q_window_records(sf_dir: str):
     return out.sort_values("window_id").reset_index(drop=True)
 
 
+def _q_clip_audio_embeddings(sf_dir: str):
+    from data_quality_ray.stages.audio_embed import clip_audio_embeddings
+
+    out = clip_audio_embeddings(_clip_dir(sf_dir)).to_pandas()
+    return out.sort_values("clip_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_ray.pipelines import dedup, documents, embeddings, relational
 
@@ -172,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": embeddings.ann_lsh,
         "ann_ivf": embeddings.ann_ivf,
         "embedding_near_dup": embeddings.embedding_near_dup,
+        # audio embeddings over the clip table (log-mel actor pool)
+        "clip_audio_embeddings": _q_clip_audio_embeddings,
     }
 
 

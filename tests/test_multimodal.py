@@ -52,3 +52,43 @@ def test_frame_sample_stage_over_ray(ray_session):
     assert len(out) == 6 * 3
     assert set(out["frame_idx"].unique()) == {0, 4, 8}
     assert all(len(b) == 8 * 6 * 3 for b in out["frame_bytes"])
+
+
+# ---------------------------------------------------------------------------
+# audio embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_audio_embedding_codec_invariance():
+    """The same waveform must embed ~identically through every codec."""
+    from data_quality_ray.functions import codecs
+    from data_quality_ray.stages.audio_embed import AudioEmbedStage, embed_pcm, mel_filterbank
+
+    t = np.arange(16000) / 16000
+    pcm = (0.5 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 1200 * t))
+    pcm16 = (pcm * 32767).astype(np.int16)
+    fb = mel_filterbank()
+    embs = {}
+    for codec in codecs.CODECS:
+        dec = codecs.decode_tolerant(codecs.encode(pcm16, codec, 16000), codec, 16000)
+        embs[codec] = embed_pcm(dec, 16000, fb)
+    base = embs["pcm16"]
+    for codec, e in embs.items():
+        cos = float(np.dot(base, e))
+        assert cos > 0.999, f"{codec} cosine {cos}"
+    # a different waveform embeds far away
+    other = (0.5 * np.sin(2 * np.pi * 3100 * t) * 32767).astype(np.int16)
+    dec = codecs.decode_tolerant(codecs.encode(other, "pcm16", 16000), "pcm16", 16000)
+    assert float(np.dot(base, embed_pcm(dec, 16000, fb))) < 0.9
+
+
+def test_clip_audio_embeddings_over_ray(ray_session, clips_dir_1k):
+    from data_quality_ray.stages.audio_embed import N_MELS, clip_audio_embeddings
+
+    out = clip_audio_embeddings(clips_dir_1k).to_pandas()
+    assert len(out) == 1000
+    ok = out[out["decode_ok"]]
+    assert (ok["embedding"].map(len) == N_MELS).all()
+    norms = ok["embedding"].map(lambda v: float(np.linalg.norm(v)))
+    assert np.allclose(norms, 1.0, atol=1e-3)
+    assert (~out[~out["decode_ok"]]["embedding"].map(len).astype(bool)).all()
