@@ -278,6 +278,7 @@ def minhash_dedup(
     n_perm: int = 128,
     n_bands: int = 32,
     threshold: float = 0.5,
+    components: str = "driver",
 ) -> pd.DataFrame:
     """Near-dup detection on the perturbed-doubled corpus via MinHash LSH.
 
@@ -305,8 +306,12 @@ def minhash_dedup(
         if est >= threshold:
             verified.append((int(a), int(b)))
 
-    comp = _connected_components(verified)
     all_ids = sorted(sig_map)
+    if components == "distributed":
+        # edge-heavy path: per-round min-reduction runs as Ray groupbys
+        vp = pd.DataFrame(verified, columns=["a", "b"])
+        return connected_components_distributed(vp, all_ids)
+    comp = _connected_components(verified)
     out = pd.DataFrame(
         {"doc_id": all_ids, "cluster_rep": [comp.get(i, i) for i in all_ids]}
     )
@@ -419,13 +424,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 
 def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) -> pd.DataFrame:
     """Min-label propagation over the candidate-pair graph as Ray Data
-    groupby rounds — the scale path for when the verified pair list is too
-    large for driver union-find (the documented smallness assumption above).
+    groupby rounds, with FULL path compression between rounds.
 
-    Each round: explode every pair (a,b) into (a,label_b),(b,label_a) plus
-    each node's current label, groupby(node).min(label). Converges in
-    O(diameter) rounds; near-dup graphs are almost all tiny cliques, so 2-4
-    rounds suffice. Returns (doc_id, cluster_rep).
+    Scale claim, stated precisely: the per-EDGE work (the dominant cost —
+    candidate pair lists dwarf the node count) runs as a distributed
+    groupby-min each round; the per-NODE label map lives on the driver
+    (O(nodes) ints — fine up to billions of docs on a big driver; beyond
+    that, labels become a Dataset joined per round). Iterates to an exact
+    fixpoint — full compression makes each round collapse entire chains,
+    so rounds ≈ O(log diameter); a hard cap raises instead of silently
+    returning partial clusters. Returns (doc_id, cluster_rep).
     """
     import ray.data as _rd
     from ray.data.aggregate import Min as _Min
@@ -434,7 +442,19 @@ def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) ->
     if pairs.empty:
         return pd.DataFrame({"doc_id": sorted(all_ids), "cluster_rep": sorted(all_ids)})
     edges = pairs[["a", "b"]].to_numpy()
-    for _ in range(8):  # diameter bound; converges long before this
+
+    def compress() -> None:
+        # full path compression of the driver label map (iterative chase)
+        for n in list(label):
+            root = n
+            seen = []
+            while label.get(root, root) != root:
+                seen.append(root)
+                root = label[root]
+            for m in seen:
+                label[m] = root
+
+    for round_no in range(64):
         la = np.array([label[a] for a in edges[:, 0]])
         lb = np.array([label[b] for b in edges[:, 1]])
         nodes = np.concatenate([edges[:, 0], edges[:, 1], np.array(all_ids)])
@@ -446,17 +466,14 @@ def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) ->
             .aggregate(_Min("label", alias_name="label"))
             .to_pandas()
         )
-        new = dict(zip(agg["node"], agg["label"]))
-        # propagate through labels (pointer jump): label[label[x]]
         changed = False
-        for n in new:
-            lbl = new[n]
-            root = new.get(lbl, lbl)
-            if root != label[n]:
-                label[n] = root
+        for n, lbl in zip(agg["node"], agg["label"]):
+            if lbl < label[n]:
+                label[n] = int(lbl)
                 changed = True
+        compress()
         if not changed:
-            break
-    return pd.DataFrame(
-        {"doc_id": sorted(all_ids), "cluster_rep": [label[i] for i in sorted(all_ids)]}
-    )
+            return pd.DataFrame(
+                {"doc_id": sorted(all_ids), "cluster_rep": [label[i] for i in sorted(all_ids)]}
+            )
+    raise RuntimeError("connected components did not converge in 64 rounds")

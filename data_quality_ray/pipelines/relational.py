@@ -847,7 +847,10 @@ def orders_of_active_users(sf_dir: str) -> pd.DataFrame:
         .unique("user_id")
     )
     users = np.asarray(sorted(users), dtype=np.int64)
-    bloom = BloomFilter(n_bits=1 << 16, n_hashes=5)
+    # ~10 bits/key (FP ≈ 1%) rounded up to a power of two — sized from the
+    # actual key count so the filter never saturates at scale
+    n_bits = 1 << max(16, int(np.ceil(np.log2(max(len(users), 1) * 10))))
+    bloom = BloomFilter(n_bits=n_bits, n_hashes=5)
     bloom.add(users)
     ref = ray.put((bloom, set(users.tolist())))
 

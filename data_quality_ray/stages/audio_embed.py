@@ -21,6 +21,7 @@ from data_quality_ray.stages.decode import CANONICAL_SR, _resample_linear
 
 N_MELS = 26
 N_FFT_BINS = 1 + 4096 // 2  # power spectrum of a 4096-sample window
+_HANN_4096 = np.hanning(4096)  # window is a constant; never rebuild per frame
 
 
 def _hz_to_mel(f):
@@ -58,7 +59,7 @@ def embed_pcm(pcm: np.ndarray, sr_hz: int, fb: np.ndarray) -> np.ndarray:
         w = x[i * n_fft : (i + 1) * n_fft]
         if len(w) < n_fft:
             w = np.pad(w, (0, n_fft - len(w)))
-        spec = np.fft.rfft(w * np.hanning(n_fft))
+        spec = np.fft.rfft(w * _HANN_4096)
         acc += spec.real**2 + spec.imag**2
     mel = fb @ (acc / n_frames)
     # energy-relative floor (−40 dB re total): bands below any codec's

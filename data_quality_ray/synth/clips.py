@@ -303,7 +303,22 @@ def ensure_clips(name: str, root: str = "/tmp/graft_clips", *, use_ray: bool = T
             # another process committed first; its content is identical
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            # stale partial dir (earlier crash): replace it with ours
-            shutil.rmtree(out, ignore_errors=True)
-            os.rename(tmp, out)
+            # stale partial dir (earlier crash): move it aside, then try to
+            # commit ours; if a concurrent committer beat us to it, theirs is
+            # identical — keep it and discard ours (never rmtree a dir that
+            # might have just gained _DONE)
+            stale = f"{out}.stale-{os.getpid()}-{_uuid.uuid4().hex[:6]}"
+            try:
+                os.rename(out, stale)
+            except OSError:
+                pass
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                if os.path.exists(os.path.join(out, "_DONE")):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    raise
     return out

@@ -145,3 +145,19 @@ def test_distributed_components_match_union_find(_ray):
     expected = {i: via_uf.get(i, i) for i in all_ids}
     got = dedup.connected_components_distributed(pairs, all_ids)
     assert dict(zip(got["doc_id"], got["cluster_rep"])) == expected
+
+
+def test_distributed_components_long_chain(_ray):
+    """Convergence on a long path graph (the case a fixed round cap broke)."""
+    import pandas as pd
+
+    n = 1200
+    pairs = pd.DataFrame({"a": range(n - 1), "b": range(1, n)})
+    out = dedup.connected_components_distributed(pairs, list(range(n)))
+    assert out["cluster_rep"].nunique() == 1
+    assert (out["cluster_rep"] == 0).all()
+
+
+def test_minhash_dedup_distributed_components_match(_ray, minhash_result):
+    via_dist = dedup.minhash_dedup(SF_DIR, components="distributed")
+    assert via_dist.equals(minhash_result)
