@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": relational.revenue_by_priority,
         "top_events": relational.top_events,
         "events_value_extremes": relational.events_value_extremes,
+        "events_value_stats": relational.events_value_stats,
         "orders_of_active_users": relational.orders_of_active_users,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # derived-dataset pipelines (reference entry points 2 and 3)
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_priority": relational.REVENUE_BY_PRIORITY_SQL,
         "top_events": relational.TOP_EVENTS_SQL,
         "events_value_extremes": relational.EVENTS_VALUE_EXTREMES_SQL,
+        "events_value_stats": relational.EVENTS_VALUE_STATS_SQL,
         "orders_of_active_users": relational.ORDERS_OF_ACTIVE_USERS_SQL,
         "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,

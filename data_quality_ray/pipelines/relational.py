@@ -916,3 +916,65 @@ FROM (
 WHERE rank <= 3
 ORDER BY o_custkey, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Variance / std with exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def events_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Mean and population variance of value per event type.
+
+    Both moments are integer sums in cents (sum, sum of squares — int64-safe:
+    cents ≤ 5·10^4, squares ≤ 2.5·10^9, trillions of rows before overflow at
+    this magnitude), so the distributed result is bit-identical to sequential
+    SQL; the final division/rounding happens once, identically on both sides.
+    """
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": c,
+                "cents_sq": pc.multiply(c, c),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(to_cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("cents", alias_name="s1"),
+            Sum("cents_sq", alias_name="s2"),
+            Count(alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    n = out["n_events"].to_numpy().astype(np.float64)
+    s1 = out.pop("s1").to_numpy().astype(np.float64)
+    s2 = out.pop("s2").to_numpy().astype(np.float64)
+    out["mean_value"] = np.round(s1 / n / 100.0, 4)
+    out["var_value"] = np.round((s2 / n - (s1 / n) ** 2) / 10_000.0, 4)
+    return out[["event_type", "n_events", "mean_value", "var_value"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+EVENTS_VALUE_STATS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(cents) / count(*) / 100.0, 4) AS mean_value,
+       round((sum(cents * cents) / count(*)
+              - (sum(cents) / count(*)) * (sum(cents) / count(*))) / 10000.0, 4)
+         AS var_value
+FROM c GROUP BY event_type ORDER BY event_type
+"""
