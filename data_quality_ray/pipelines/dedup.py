@@ -6,18 +6,20 @@ All variants follow the same scale shape:
 
   signature per row (map_batches, vectorized numpy)
     → explode to (band, band_hash, id) rows
-    → groupby band bucket (the ONLY shuffle; bucket key is uniform by
-      construction, so no skew/salting needed)
-    → candidate pairs per bucket (map_groups)
-    → verify (estimated or exact similarity)
+    → groupby band bucket (uniform key by construction, no salting needed)
+    → candidate pairs per bucket (map_groups) → distributed pair dedupe
+    → verify: two bucket-partitioned joins re-attach both endpoints'
+      signatures to each pair, then a vectorized batch kernel compares
+      them — NO O(corpus) driver state, no per-pair Python loop
     → connected components → representative = min id per cluster
 
-Connected components run on the driver over the *verified pair list* —
-orders of magnitude smaller than the corpus (documented assumption; the
-scale path is iterative min-label propagation with groupby, same pairs
-input). The testdata documents have no duplicates, so the dedup entries
-plant them: each corpus is doubled with (exact or perturbed) copies at
-``doc_id + DUP_OFFSET``.
+Only the *verified pair list* reaches the driver (the CC input — orders of
+magnitude smaller than the corpus; the distributed alternative is
+``_cc_labels_distributed``, iterative min-label propagation with groupby);
+final per-doc labels are produced by broadcasting the small pair-graph
+label map over the corpus stream. The testdata documents have no
+duplicates, so the dedup entries plant them: each corpus is doubled with
+(exact or perturbed) copies at ``doc_id + DUP_OFFSET``.
 """
 
 from __future__ import annotations
@@ -244,14 +246,169 @@ def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out})
 
 
-def _candidate_pairs(band_ds) -> pd.DataFrame:
-    """(band, band_hash, doc_id) rows → deduplicated candidate (a, b) pairs."""
+def _candidate_pairs_ds(band_ds) -> "rd.Dataset":
+    """(band, band_hash, doc_id) rows → Dataset of unique candidate (a, b)
+    pairs — fully distributed.
+
+    Pair generation is partition-grain (``_partition_pairs``); a pair found
+    in several bands lands in several pkey groups, so a second tiny
+    co-partitioned pass keyed on the PAIR dedupes across bands. Pairs never
+    touch the driver here."""
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.uint64)
+        b = t["b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pp = ((a * _MIX1 ^ b * _MIX2) % np.uint64(N_PAIR_PARTITIONS)).astype(np.int64)
+        return t.append_column("ppkey", pa.array(pp, pa.int64()))
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
     return (
         band_ds.map_batches(_add_partition_key, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(_partition_pairs, batch_format="pandas")
+        .map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("ppkey")
+        .map_groups(drop_dups, batch_format="pandas")
+    )
+
+
+def _bucket_of(keys: np.ndarray, n: int) -> np.ndarray:
+    """Uniform hash bucket of int64 keys (multiplicative mix, high bits)."""
+    with np.errstate(over="ignore"):
+        return (((keys.astype(np.uint64) * _MIX1) >> np.uint64(33)) % np.uint64(n)).astype(
+            np.int64
+        )
+
+
+def _attach_sig_partitioned(
+    pairs: "rd.Dataset",
+    sigs: "rd.Dataset",
+    key_col: str,
+    sig_col: str,
+    sig_type: pa.DataType,
+    carry: dict[str, pa.DataType],
+    out_col: str,
+    n_buckets: int = N_PAIR_PARTITIONS,
+) -> "rd.Dataset":
+    """Inner-join ``pairs[key_col]`` → ``sigs.doc_id``, appending the matched
+    signature as ``out_col`` — the bucket-partitioned join that replaces
+    driver-side signature maps (the round-1 ``take_all()`` anti-pattern).
+
+    Both sides are tagged into one schema-aligned stream and co-partitioned
+    by a hash bucket of the join key (ONE shuffle; the key is id-like, so
+    buckets are uniform); inside each bucket the match is a vectorized
+    argsort + searchsorted, no per-row Python. No driver state anywhere;
+    per-task memory is O(|sigs| / n_buckets) signatures.
+    """
+    cols = ["pkey", "side", "key", *carry, "sig"]
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy()
+        data = {
+            "pkey": pa.array(_bucket_of(keys, n_buckets), pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "key": pa.array(keys, pa.int64()),
+            **{c: t[c] for c in carry},
+            "sig": pa.nulls(t.num_rows, sig_type),
+        }
+        return pa.table({c: data[c] for c in cols})
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        keys = t["doc_id"].to_numpy()
+        data = {
+            "pkey": pa.array(_bucket_of(keys, n_buckets), pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+            "key": pa.array(keys, pa.int64()),
+            **{c: pa.nulls(t.num_rows, ct) for c, ct in carry.items()},
+            "sig": t[sig_col].combine_chunks(),
+        }
+        return pa.table({c: data[c] for c in cols})
+
+    out_schema = pa.schema(
+        [(key_col, pa.int64()), *carry.items(), (out_col, sig_type)]
+    )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        keys = g["key"].to_numpy()
+        sig_idx = np.flatnonzero(side == 1)
+        pair_idx = np.flatnonzero(side == 0)
+        if len(sig_idx) == 0 or len(pair_idx) == 0:
+            return out_schema.empty_table()
+        sk = keys[sig_idx]
+        order = np.argsort(sk, kind="stable")
+        sks = sk[order]
+        pk = keys[pair_idx]
+        pos = np.minimum(np.searchsorted(sks, pk), len(sks) - 1)
+        matched = sks[pos] == pk
+        take_pair = pa.array(pair_idx[matched])
+        take_sig = pa.array(sig_idx[order[pos[matched]]])
+        out = {key_col: pa.array(pk[matched], pa.int64())}
+        for c in carry:
+            out[c] = g[c].take(take_pair)
+        out[out_col] = g["sig"].take(take_sig)
+        return pa.table(out).cast(out_schema)
+
+    stream = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+    )
+    return stream.groupby("pkey").map_groups(join_group, batch_format="pyarrow")
+
+
+_SIG_LIST = pa.list_(pa.uint64())
+
+
+def _attach_both_sigs(
+    cand: "rd.Dataset", sigs: "rd.Dataset", sig_col: str, sig_type: pa.DataType
+) -> "rd.Dataset":
+    """Candidate (a, b) pairs → (a, b, sig_a, sig_b) via two partitioned
+    joins (a → sigs, then b → sigs)."""
+    j1 = _attach_sig_partitioned(
+        cand, sigs, "a", sig_col, sig_type, {"b": pa.int64()}, "sig_a"
+    )
+    return _attach_sig_partitioned(
+        j1, sigs, "b", sig_col, sig_type, {"a": pa.int64(), "sig_a": sig_type}, "sig_b"
+    )
+
+
+def _list_offsets(col: "pa.ChunkedArray") -> tuple[np.ndarray, np.ndarray]:
+    """(flat values, row offsets) of a list<uint64> column — offsets are
+    rebuilt from per-row lengths so slices/takes are handled correctly."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    vals = np.asarray(arr.flatten(), dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    return vals, offs
+
+
+def _labeled_output(sigs: "rd.Dataset", comp: dict[int, int]) -> pd.DataFrame:
+    """(doc_id, cluster_rep) for every doc. Cluster labels exist only for
+    nodes that appeared in verified pairs (≪ corpus) — broadcast once via
+    ``ray.put``; every batch maps ids vectorized (singletons → themselves).
+    The driver holds only the pair-graph labels and the returned frame (the
+    query's result contract)."""
+    ref = ray.put(comp)
+
+    def lab(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t["doc_id"].to_numpy()
+        s = pd.Series(ids)
+        reps = s.map(m).fillna(s).astype(np.int64).to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "cluster_rep": pa.array(reps, pa.int64())}
+        )
+
+    return (
+        sigs.select_columns(["doc_id"])
+        .map_batches(lab, batch_format="pyarrow")
         .to_pandas()
-        .drop_duplicates()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
 
 
@@ -287,35 +444,52 @@ def minhash_dedup(
     come from banded LSH buckets; similarity is the minhash estimate
     (matching components / n_perm) ≥ threshold.
     """
+    import functools
+
     rows_per_band = n_perm // n_bands
     ds = _doubled(sf_dir, perturb=True)
-    # signatures are tiny (n_docs × n_perm × 8B) and consumed twice (bands +
-    # verification) → materialize once instead of re-running the sig DAG
+    # signatures are tiny (n_docs × n_perm × 8B) and consumed three times
+    # (bands + two verify joins + labeling) → materialize once
     sigs = minhash_signatures(ds, n_perm).materialize()
 
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, n_bands, rows_per_band), batch_format="pyarrow"
     )
-    cand = _candidate_pairs(band_ds)
-
-    # verify with the signature table (broadcast; scale path = hash join)
-    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in sigs.take_all()}
-    verified = []
-    for a, b in zip(cand["a"], cand["b"]):
-        est = float(np.mean(sig_map[a] == sig_map[b]))
-        if est >= threshold:
-            verified.append((int(a), int(b)))
-
-    all_ids = sorted(sig_map)
+    cand = _candidate_pairs_ds(band_ds)
+    # verification: join each pair back to the signature dataset (two
+    # bucket-partitioned joins), then compare signatures VECTORIZED per
+    # batch — no O(corpus) state ever reaches the driver
+    joined = _attach_both_sigs(cand, sigs, "sig", _SIG_LIST)
+    verified = (
+        joined.map_batches(
+            functools.partial(_verify_minhash_batch, n_perm=n_perm, threshold=threshold),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # VERIFIED pairs only — the CC input (≪ corpus)
+    )
     if components == "distributed":
         # edge-heavy path: per-round min-reduction runs as Ray groupbys
-        vp = pd.DataFrame(verified, columns=["a", "b"])
-        return connected_components_distributed(vp, all_ids)
-    comp = _connected_components(verified)
-    out = pd.DataFrame(
-        {"doc_id": all_ids, "cluster_rep": [comp.get(i, i) for i in all_ids]}
-    )
-    return out.reset_index(drop=True)
+        comp = _cc_labels_distributed(verified)
+    else:
+        comp = _connected_components(
+            [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+        )
+    return _labeled_output(sigs, comp)
+
+
+def _verify_minhash_batch(t: pa.Table, n_perm: int, threshold: float) -> pa.Table:
+    """Estimated Jaccard (matching minhash components) per pair, vectorized
+    over the whole batch: two (n_pairs × n_perm) matrices, one equality mean."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    va, _ = _list_offsets(t["sig_a"])
+    vb, _ = _list_offsets(t["sig_b"])
+    A = va.reshape(-1, n_perm)
+    B = vb.reshape(-1, n_perm)
+    est = (A == B).mean(axis=1)
+    keep = pa.array(est >= threshold)
+    return t.select(["a", "b"]).filter(keep).cast(schema)
 
 
 # ---------------------------------------------------------------------------
@@ -372,49 +546,215 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             }
         )
 
-    cand = _candidate_pairs(sigs.map_batches(bands, batch_format="pyarrow"))
-    hmap = {r["doc_id"]: int(r["simhash"]) for r in sigs.take_all()}
-    verified = [
-        (int(a), int(b))
-        for a, b in zip(cand["a"], cand["b"])
-        if bin(hmap[a] ^ hmap[b]).count("1") <= max_hamming
-    ]
-    comp = _connected_components(verified)
-    all_ids = sorted(hmap)
-    return pd.DataFrame(
-        {"doc_id": all_ids, "cluster_rep": [comp.get(i, i) for i in all_ids]}
-    ).reset_index(drop=True)
+    import functools
+
+    cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
+    # hamming verification via the same partitioned join — both simhash
+    # values arrive co-located, popcount is vectorized per batch
+    joined = _attach_both_sigs(cand, sigs, "simhash", pa.uint64())
+    verified = joined.map_batches(
+        functools.partial(_verify_simhash_batch, max_hamming=max_hamming),
+        batch_format="pyarrow",
+    ).to_pandas()
+    comp = _connected_components(
+        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+    )
+    return _labeled_output(sigs, comp)
+
+
+def _verify_simhash_batch(t: pa.Table, max_hamming: int) -> pa.Table:
+    """Exact hamming distance per pair: xor + unpackbits popcount, one
+    vectorized pass over the batch."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    A = t["sig_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    B = t["sig_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    x = A ^ B
+    pop = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+    keep = pa.array(pop <= max_hamming)
+    return t.select(["a", "b"]).filter(keep).cast(schema)
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard on LSH candidates
+# EXACT n-gram Jaccard similarity join (prefix filtering, AllPairs-style)
 # ---------------------------------------------------------------------------
+
+
+def _shingle_ds(ds: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, sh list<uint64>) — sorted unique word-3-gram shingle hashes
+    per document (``np.unique`` sorts, which doubles as the global token
+    order the prefix filter needs)."""
+
+    def sh(t: pa.Table) -> pa.Table:
+        out = [_shingle_hashes(x).tolist() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sh": pa.array(out, _SIG_LIST)})
+
+    return ds.map_batches(sh, batch_format="pyarrow", batch_size=1024)
+
+
+def _prefix_rows(t: pa.Table, threshold: float) -> pa.Table:
+    """Explode each doc's PREFIX shingles to (band=0, band_hash=shingle,
+    doc_id) rows. Prefix length = |S| - ceil(t·|S|) + 1 under the global
+    (ascending hash) order — the AllPairs/PPJoin bound: any pair with
+    Jaccard ≥ t shares at least one prefix shingle, so candidate
+    generation is EXACT (no recall loss), unlike the minhash-band path.
+    Fully vectorized (repeat/arange gather, no per-row Python)."""
+    import pyarrow.compute as pc
+
+    arr = t["sh"].combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    vals = np.asarray(arr.flatten(), dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    plen = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+    ids = t["doc_id"].to_numpy()
+    total = int(plen.sum())
+    row_of = np.repeat(np.arange(len(ids)), plen)
+    start = np.repeat(offs[:-1], plen)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(plen)[:-1]]), plen
+    )
+    return pa.table(
+        {
+            "band": pa.array(np.zeros(total, np.int32)),
+            "band_hash": pa.array(vals[start + within], pa.uint64()),
+            "doc_id": pa.array(ids[row_of], pa.int64()),
+        }
+    )
+
+
+def _verify_jaccard_batch(t: pa.Table, threshold: float) -> pa.Table:
+    """Exact Jaccard from the two co-located sorted shingle arrays.
+    ``intersect1d(assume_unique)`` per pair (a compiled merge of two sorted
+    uint64 arrays); the division is the same double division the SQL oracle
+    performs, so values are bit-identical."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    va, oa = _list_offsets(t["sig_a"])
+    vb, ob = _list_offsets(t["sig_b"])
+    a = t["a"].to_numpy()
+    b = t["b"].to_numpy()
+    js = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        sa = va[oa[i] : oa[i + 1]]
+        sb = vb[ob[i] : ob[i + 1]]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        js[i] = inter / max(1, sa.size + sb.size - inter)
+    keep = js >= threshold
+    return pa.table(
+        {
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(js[keep], pa.float64()),
+        }
+    )
+
+
+def _exact_jaccard_pairs_ds(sf_dir: str, threshold: float) -> tuple["rd.Dataset", "rd.Dataset"]:
+    """(verified-pairs Dataset, shingle Dataset) for the doubled corpus —
+    the shared engine of ``ngram_jaccard_pairs`` / ``jaccard_cluster_reps``."""
+    import functools
+
+    sh = _shingle_ds(_doubled(sf_dir, perturb=True)).materialize()  # reused 4×
+    cand = _candidate_pairs_ds(
+        sh.map_batches(
+            functools.partial(_prefix_rows, threshold=threshold), batch_format="pyarrow"
+        )
+    )
+    joined = _attach_both_sigs(cand, sh, "sh", _SIG_LIST)
+    ver = joined.map_batches(
+        functools.partial(_verify_jaccard_batch, threshold=threshold),
+        batch_format="pyarrow",
+    )
+    return ver, sh
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """Near-dup PAIRS with exact word-3-gram Jaccard ≥ threshold.
+    """ALL pairs with exact word-3-gram Jaccard ≥ threshold (exact
+    similarity join — SQL-oracle-checkable, unlike an LSH candidate set).
 
-    Candidates from MinHash bands (cheap); verification computes the exact
-    Jaccard from shingle sets (broadcast shingle map; scale path = join).
-    """
-    n_perm, n_bands = 64, 16
-    ds = _doubled(sf_dir, perturb=True).materialize()  # reused: bands + shingle verify
-    sigs = minhash_signatures(ds, n_perm)
-    band_ds = sigs.map_batches(
-        lambda t: _band_rows(t, n_bands, n_perm // n_bands), batch_format="pyarrow"
-    )
-    cand = _candidate_pairs(band_ds)
-    sh_map = {
-        r["doc_id"]: set(_shingle_hashes(r["text"]).tolist()) for r in ds.take_all()
-    }
-    rows = []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = sh_map[a], sh_map[b]
-        j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    Shape: shingle sets → prefix-filter explode (exact candidates) →
+    partitioned-groupby pair generation → two bucket-partitioned joins to
+    re-attach both shingle sets → vectorized exact verify. No driver state;
+    the known cost of EXACTNESS is that a globally frequent prefix shingle
+    fans out to its pair count (the minhash path stays the approximate
+    scale alternative)."""
+    ver, _ = _exact_jaccard_pairs_ds(sf_dir, threshold)
+    out = ver.to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def jaccard_cluster_reps(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """(doc_id, cluster_rep) from connected components over the EXACT
+    jaccard pair graph — end-to-end dedup whose clustering itself is
+    SQL-oracle-checked (recursive min-label CTE in DuckDB)."""
+    ver, sh = _exact_jaccard_pairs_ds(sf_dir, threshold)
+    pairs = ver.to_pandas()  # verified pairs only (CC input, ≪ corpus)
+    comp = _connected_components(
+        [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
+    )
+    return _labeled_output(sh, comp)
+
+
+# Shared SQL fragment: the perturbed-doubled corpus + per-doc distinct
+# word-3-gram sets, reproducing functions/text.py normalization exactly
+# (lower + trim + whitespace collapse; <3 tokens → the whole normalized
+# text as the single "gram"; empty → a sentinel no real gram can equal).
+_JACCARD_GRAMS_SQL = rf"""
+tok0 AS (
+  SELECT doc_id, string_split(text, ' ') AS rtk FROM documents
+),
+doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET},
+         array_to_string(rtk[1:greatest(len(rtk) - 2, 0)], ' ')
+  FROM tok0
+),
+toks AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ntext,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk
+  FROM doubled
+),
+grams AS (
+  SELECT doc_id,
+         CASE
+           WHEN ntext = '' THEN ['']
+           WHEN len(tk) < 3 THEN [ntext]
+           ELSE list_distinct([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                               FOR i IN range(1, len(tk) - 1)])
+         END AS g
+  FROM toks
+),
+jpairs AS (
+  SELECT a, b, jaccard FROM (
+    SELECT ga.doc_id AS a, gb.doc_id AS b,
+           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(ga.g || gb.g)) AS jaccard
+    FROM grams ga JOIN grams gb ON ga.doc_id < gb.doc_id
+  ) WHERE jaccard >= 0.5
+)
+"""
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH {_JACCARD_GRAMS_SQL}
+SELECT a, b, jaccard FROM jpairs ORDER BY a, b
+"""
+
+JACCARD_CLUSTER_REPS_SQL = f"""
+WITH RECURSIVE {_JACCARD_GRAMS_SQL},
+edges2 AS (
+  SELECT a, b FROM jpairs UNION ALL SELECT b, a FROM jpairs
+),
+lab AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM doubled
+  UNION
+  SELECT e.b AS node, l.lbl FROM edges2 e JOIN lab l ON l.node = e.a
+)
+SELECT node AS doc_id, min(lbl) AS cluster_rep FROM lab GROUP BY node ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -422,26 +762,28 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) -> pd.DataFrame:
-    """Min-label propagation over the candidate-pair graph as Ray Data
+def _cc_labels_distributed(pairs: pd.DataFrame) -> dict[int, int]:
+    """Min-label propagation over the verified-pair graph as Ray Data
     groupby rounds, with FULL path compression between rounds.
 
     Scale claim, stated precisely: the per-EDGE work (the dominant cost —
-    candidate pair lists dwarf the node count) runs as a distributed
-    groupby-min each round; the per-NODE label map lives on the driver
-    (O(nodes) ints — fine up to billions of docs on a big driver; beyond
-    that, labels become a Dataset joined per round). Iterates to an exact
-    fixpoint — full compression makes each round collapse entire chains,
-    so rounds ≈ O(log diameter); a hard cap raises instead of silently
-    returning partial clusters. Returns (doc_id, cluster_rep).
+    pair lists dwarf the pair-graph node count) runs as a distributed
+    groupby-min each round; the per-NODE label map covers only nodes that
+    appear in pairs and lives on the driver (O(pair nodes) ints — fine up
+    to billions on a big driver; beyond that, labels become a Dataset
+    joined per round). Singletons never enter a round — callers label them
+    identity via ``_labeled_output``. Iterates to an exact fixpoint — full
+    compression makes each round collapse entire chains, so rounds ≈
+    O(log diameter); a hard cap raises instead of silently returning
+    partial clusters.
     """
     import ray.data as _rd
     from ray.data.aggregate import Min as _Min
 
-    label = {i: i for i in all_ids}
     if pairs.empty:
-        return pd.DataFrame({"doc_id": sorted(all_ids), "cluster_rep": sorted(all_ids)})
+        return {}
     edges = pairs[["a", "b"]].to_numpy()
+    label = {int(i): int(i) for i in np.unique(edges)}
 
     def compress() -> None:
         # full path compression of the driver label map (iterative chase)
@@ -457,8 +799,8 @@ def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) ->
     for round_no in range(64):
         la = np.array([label[a] for a in edges[:, 0]])
         lb = np.array([label[b] for b in edges[:, 1]])
-        nodes = np.concatenate([edges[:, 0], edges[:, 1], np.array(all_ids)])
-        labels = np.concatenate([lb, la, np.array([label[i] for i in all_ids])])
+        nodes = np.concatenate([edges[:, 0], edges[:, 1]])
+        labels = np.concatenate([lb, la])
         tbl = pa.table({"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())})
         agg = (
             _rd.from_arrow(tbl)
@@ -473,7 +815,13 @@ def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) ->
                 changed = True
         compress()
         if not changed:
-            return pd.DataFrame(
-                {"doc_id": sorted(all_ids), "cluster_rep": [label[i] for i in sorted(all_ids)]}
-            )
+            return label
     raise RuntimeError("connected components did not converge in 64 rounds")
+
+
+def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) -> pd.DataFrame:
+    """(doc_id, cluster_rep) for ``all_ids`` via the distributed min-label
+    rounds of ``_cc_labels_distributed`` (singletons map to themselves)."""
+    label = _cc_labels_distributed(pairs)
+    ids = sorted(all_ids)
+    return pd.DataFrame({"doc_id": ids, "cluster_rep": [label.get(i, i) for i in ids]})

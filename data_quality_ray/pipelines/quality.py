@@ -102,6 +102,26 @@ def kept(ds: "rd.Dataset") -> "rd.Dataset":
     )
 
 
+# Explicit partial schema: an empty batch (zero-row input file, or a
+# kept_only block where every row was dropped) must yield a partial with
+# EXACTLY these types — letting pandas infer dtypes from an empty groupby
+# produces all-double columns that poison the block union downstream.
+_LINEAGE_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("lang", pa.string()),
+        ("split", pa.string()),
+        ("n", pa.int64()),
+        ("kept", pa.int64()),
+        ("ppl_sum", pa.float64()),
+        ("score_sum", pa.float64()),
+        ("good", pa.int64()),
+        ("mid", pa.int64()),
+        ("bad", pa.int64()),
+        ("hash_sum", pa.int64()),
+    ]
+)
+
+
 def _lineage_partial(batch: pa.Table) -> pa.Table:
     """ONE combiner for everything lineage needs: per-(lang, split) partial
     rows carrying counts, keep counts, ppl/score sums, bucket counts and an
@@ -109,6 +129,9 @@ def _lineage_partial(batch: pa.Table) -> pa.Table:
     replaces three separate dataset executions."""
     import numpy as np
     import pandas as pd
+
+    if batch.num_rows == 0:
+        return _LINEAGE_PARTIAL_SCHEMA.empty_table()
 
     h = hash_binary_column(batch["transcript_scrubbed"])
     df = pd.DataFrame(
@@ -139,7 +162,7 @@ def _lineage_partial(batch: pa.Table) -> pa.Table:
         .reset_index()
     )
     g["hash_sum"] = ([hs] + [0] * (len(g) - 1)) if len(g) else []
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False).cast(_LINEAGE_PARTIAL_SCHEMA)
 
 
 def run_checkpointed(
@@ -183,6 +206,14 @@ def run_checkpointed(
             ds = ds.map_batches(
                 lambda t: t.filter(_pc.field("keep")), batch_format="pyarrow"
             )
+        # A crash between tmp-dir creation and ckpt.commit leaves an orphan
+        # .tmp-{pid}-* dir that no later attempt reuses (fresh uuid each
+        # time); sweep uncommitted leftovers for THIS partition before
+        # creating the new one so crash-resume cycles don't accumulate them.
+        import shutil as _shutil
+
+        for stale in glob.glob(os.path.join(out_dir, f".tmp-{pid}-*")):
+            _shutil.rmtree(stale, ignore_errors=True)
         tmp = os.path.join(out_dir, f".tmp-{pid}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
         # ONE streaming execution: each task writes its block as a parquet
