@@ -198,7 +198,21 @@ def ann_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
 def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
     """Cosine near-dup pairs on a corpus doubled with slightly-noised copies
     (vec_id + DUP_OFFSET, noise σ=0.01). Returns (a, b) pairs with
-    cosine ≥ threshold, a < b. LSH-bucketed candidate generation."""
+    cosine ≥ threshold, a < b.
+
+    Shuffle discipline: the LSH bucket explode carries ONLY (table, code,
+    vec_id) — ~20 B/row, never the vector (the round-1 version replicated
+    the full embedding ×n_tables through the groupby). Candidate pairs are
+    re-joined to the single-copy embedding table with the same
+    bucket-partitioned joins the dedup family uses, then cosine is
+    verified vectorized per batch.
+    """
+    import functools
+
+    from data_quality_ray.pipelines.dedup import (  # shared pair machinery
+        _attach_both_sigs,
+        _candidate_pairs_ds,
+    )
 
     def noisy_copy(t: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(t)
@@ -221,47 +235,52 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
 
     base = _emb(sf_dir)
     ds = base.union(base.map_batches(noisy_copy, batch_format="pyarrow"))
+    # one keyed copy of the vectors, reused by buckets + both verify joins
+    keyed = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"], "embedding": t["embedding"]}),
+        batch_format="pyarrow",
+    ).materialize()
 
-    # bucket stage: (table, code, vec_id, embedding) rows, then per-bucket
-    # exact cosine among members (groupby → map_groups)
-    first = _load_queries(sf_dir)[1]
-    hp = _Hyperplanes(first.shape[1], n_tables=6, n_bits=10)
+    dim = _load_queries(sf_dir)[1].shape[1]
+    hp = _Hyperplanes(dim, n_tables=6, n_bits=10)
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(t)
+        ids = t["doc_id"].to_numpy()
+        flat = t["embedding"].combine_chunks()
+        mat = np.asarray(flat.flatten(), dtype=np.float64).reshape(len(ids), -1)
         matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         codes = hp.codes(matn)
         n, T_ = codes.shape
         return pa.table(
             {
-                "htable": pa.array(np.repeat(np.arange(T_, dtype=np.int32), n)),
-                "code": pa.array(codes.T.reshape(-1).astype(np.int64)),
-                "vec_id": pa.array(np.tile(ids, T_), pa.int64()),
-                "embedding": pa.array(
-                    [r.astype(np.float32).tolist() for r in mat] * T_,
-                    pa.list_(pa.float32()),
-                ),
+                "band": pa.array(np.repeat(np.arange(T_, dtype=np.int32), n)),
+                "band_hash": pa.array(codes.T.reshape(-1).astype(np.uint64), pa.uint64()),
+                "doc_id": pa.array(np.tile(ids, T_), pa.int64()),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sims = matn @ matn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] >= threshold
-        return pd.DataFrame({"a": ids[iu[hit]], "b": ids[ju[hit]]})
+    def verify(t: pa.Table, threshold: float) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        A = np.asarray(t["sig_a"].combine_chunks().flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1
+        )
+        B = np.asarray(t["sig_b"].combine_chunks().flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1
+        )
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        keep = pa.array(np.einsum("ij,ij->i", An, Bn) >= threshold)
+        return t.select(["a", "b"]).filter(keep).cast(schema)
 
+    cand = _candidate_pairs_ds(keyed.map_batches(to_buckets, batch_format="pyarrow"))
+    joined = _attach_both_sigs(cand, keyed, "embedding", pa.list_(pa.float32()))
     pairs = (
-        ds.map_batches(to_buckets, batch_format="pyarrow")
-        .groupby(["htable", "code"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        joined.map_batches(
+            functools.partial(verify, threshold=threshold), batch_format="pyarrow"
+        )
         .to_pandas()
-        .drop_duplicates()
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
@@ -288,61 +307,125 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 3) -> n
     return centroids
 
 
-def ann_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF-style ANN: coarse k-means cells + probe-nearest-cells search.
+IVF_SAMPLE_SIZE = 256
 
-    Scale shape: centroids are trained once on a driver-side sample and
-    broadcast; the index stage assigns every vector to its nearest cell
-    (vectorized argmin per batch); a query scans only vectors whose cell is
-    among its ``n_probe`` nearest cells — at 100 TB the cell id is the
-    partition key of the stored index (``partition_cols=["cell"]``) so a
-    query reads n_probe/n_cells of the data. Here cells prune inside the
-    same map pass. Exact cosine within probed cells; recall measured vs
-    brute force in tests.
+
+def build_ivf_index(
+    sf_dir: str, index_dir: str, n_cells: int = 16, sample_size: int = IVF_SAMPLE_SIZE
+) -> np.ndarray:
+    """Train the coarse quantizer on a DISTRIBUTED random sample and write
+    the cell-partitioned stored index. Returns the normalized centroids.
+
+    - quantizer training: ``ds.random_sample(frac, seed)`` → the sample
+      (bounded, ≪ corpus) is the only vector data the driver ever holds —
+      never the full table.
+    - index: every vector is assigned its nearest cell (vectorized argmax
+      per batch) and written with ``partition_cols=["cell"]``, so a query
+      later reads ONLY its probed cells' files (partition pruning).
     """
-    qids, qmat = _load_queries(sf_dir)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-
-    # train the coarse quantizer on a deterministic sample (here: the full
-    # 500-vector table; at scale: ds.random_sample(frac, seed))
-    import pyarrow.parquet as pq
-
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
-    sample = np.asarray(full["embedding"].combine_chunks().values, dtype=np.float64).reshape(
-        full.num_rows, -1
-    )
+    ds = _emb(sf_dir)
+    n = ds.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample_df = ds.random_sample(frac, seed=3).to_pandas()
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    centroids = _kmeans_fit(sample, n_cells)
+    centroids = _kmeans_fit(sample, min(n_cells, len(sample)))
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
-    q_cells = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (q, n_probe)
-    ref = ray.put((qids, qn, cn, q_cells))
+    cref = ray.put(cn)
 
-    def partial(t: pa.Table) -> pa.Table:
-        qids_, qn_, cn_, q_cells_ = ray.get(ref)
+    def assign(t: pa.Table) -> pa.Table:
+        cn_ = ray.get(cref)
         ids, mat = _batch_matrix(t)
         matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        cells = (matn @ cn_.T).argmax(axis=1)  # IVF assignment
-        out_q, out_v, out_s = [], [], []
-        for j in range(len(qids_)):
-            cand = np.isin(cells, q_cells_[j])
-            if not cand.any():
-                continue
-            s = matn[cand] @ qn_[j]
-            cids = ids[cand]
-            kk = min(k, len(cids))
-            order = np.lexsort((cids, -s))[:kk]
-            out_q.extend([int(qids_[j])] * kk)
-            out_v.extend(cids[order].tolist())
-            out_s.extend(s[order].tolist())
+        cells = (matn @ cn_.T).argmax(axis=1).astype(np.int32)
+        # cell is BOTH the partition key (directory pruning) and a physical
+        # column (cell_id) so the query path keeps the per-row cell after a
+        # path-pruned read
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+                "cell_id": pa.array(cells),
+                "cell": pa.array(cells),
             }
         )
 
-    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    return cn
+
+
+def probed_cell_paths(index_dir: str, cells: "list[int]") -> list[str]:
+    """Parquet file paths of the probed cells (hive layout) — the explicit
+    partition pruning of the IVF query path; never lists unprobed cells."""
+    import glob as _glob
+
+    out = []
+    for c in cells:
+        out.extend(
+            sorted(_glob.glob(os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))
+        )
+    return out
+
+
+def ann_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF ANN over the stored cell-partitioned index.
+
+    Scale shape: the quantizer is fit on a distributed random sample
+    (:func:`build_ivf_index`), the index is parquet partitioned by cell,
+    and the query path reads ONLY the probed cells (a partition-pruned
+    ``read_parquet`` filter — n_probe·q / n_cells of the data, not a full
+    scan). Exact cosine within probed cells; recall vs brute force is
+    test-gated.
+    """
+    import shutil
+    import tempfile
+
+    qids, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    index_dir = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        cn = build_ivf_index(sf_dir, index_dir, n_cells=n_cells)
+        q_cells = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (q, n_probe)
+        ref = ray.put((qids, qn, q_cells))
+        probe_union = [int(c) for c in np.unique(q_cells)]
+
+        def partial(t: pa.Table) -> pa.Table:
+            qids_, qn_, q_cells_ = ray.get(ref)
+            ids, mat = _batch_matrix(t)
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cells = t["cell_id"].to_numpy().astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(qids_)):
+                cand = np.isin(cells, q_cells_[j])
+                if not cand.any():
+                    continue
+                s = matn[cand] @ qn_[j]
+                cids = ids[cand]
+                kk = min(k, len(cids))
+                order = np.lexsort((cids, -s))[:kk]
+                out_q.extend([int(qids_[j])] * kk)
+                out_v.extend(cids[order].tolist())
+                out_s.extend(s[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+        parts = (
+            rd.read_parquet(  # partition-pruned: only probed cells' dirs
+                probed_cell_paths(index_dir, probe_union)
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
     rows = []
     for qid, g in parts.groupby("query_id"):
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

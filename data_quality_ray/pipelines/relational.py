@@ -481,15 +481,32 @@ ORDER BY o_custkey, o_orderkey
 # ---------------------------------------------------------------------------
 
 
-def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+ASOF_BROADCAST_LIMIT = 2_000_000  # orders rows; above this, co-partition
+
+
+def events_asof_orders(sf_dir: str, *, force_partitioned: bool = False) -> pd.DataFrame:
     """For each event, the most recent order of that user at-or-before the
     event time (as-of backward join on (user, ts)).
 
-    Pattern (SURVEY.md guide): sort both sides within key groups and
-    merge_asof per group. The orders side is small per key → broadcast the
-    per-user sorted order arrays once (``ray.put``), then every event batch
-    does a vectorized searchsorted — no shuffle at all.
+    Two paths behind a SIZE GATE (orders is a fact table, not a dimension —
+    an unconditional broadcast is a driver OOM at the target scale):
+
+    - small orders side (≤ ASOF_BROADCAST_LIMIT rows): broadcast the
+      per-user sorted order arrays once (``ray.put``), every event batch
+      does a vectorized searchsorted — no shuffle at all.
+    - large orders side: co-partition BOTH sides by hash(user) bucket (one
+      schema-aligned union + groupby shuffle, the ``revenue_by_priority``
+      join pattern), then a per-bucket ``pd.merge_asof(by=user)`` —
+      per-task memory is O(rows / n_buckets), no driver state.
+
+    Both paths implement the same tie semantics (latest date, then largest
+    orderkey) and stay hash-identical to the SQL oracle; the partitioned
+    path is forced in tests via ``force_partitioned``.
     """
+    n_orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"]).count()
+    if force_partitioned or n_orders > ASOF_BROADCAST_LIMIT:
+        return _events_asof_orders_partitioned(sf_dir)
+
     orders = pd.read_parquet(
         _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
     ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
@@ -522,6 +539,82 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
         .map_batches(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Co-partitioned as-of join: hash(user) buckets both sides into ONE
+    groupby shuffle; each bucket runs a vectorized ``merge_asof`` keyed by
+    user (right side sorted (date, orderkey) so the backward match picks
+    the latest date / largest orderkey — identical to the broadcast path)."""
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        users = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "user": pa.array(users, pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        users = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+                "user": pa.array(users, pa.int64()),
+                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "event_id": pa.array(np.zeros(t.num_rows, np.int64)),
+                "o_orderkey": t["o_orderkey"],
+            }
+        )
+
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    ).map_batches(ev_rows, batch_format="pyarrow")
+    od = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev_g = g[g["side"] == 0]
+        if ev_g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "last_orderkey": pd.Series([], dtype="int64"),
+                }
+            )
+        od_g = g[g["side"] == 1].sort_values(["ts_us", "o_orderkey"], kind="stable")
+        m = pd.merge_asof(
+            ev_g[["event_id", "user", "ts_us"]].sort_values("ts_us", kind="stable"),
+            od_g[["user", "ts_us", "o_orderkey"]],
+            on="ts_us",
+            by="user",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "last_orderkey": m["o_orderkey"].fillna(-1).astype("int64"),
+            }
+        )
+
+    out = (
+        ev.union(od)
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
@@ -852,7 +945,7 @@ def orders_of_active_users(sf_dir: str) -> pd.DataFrame:
     n_bits = 1 << max(16, int(np.ceil(np.log2(max(len(users), 1) * 10))))
     bloom = BloomFilter(n_bits=n_bits, n_hashes=5)
     bloom.add(users)
-    ref = ray.put((bloom, set(users.tolist())))
+    ref = ray.put((bloom, users))  # users: sorted int64 array
 
     def semi(t: pa.Table) -> pa.Table:
         b, exact = ray.get(ref)
@@ -860,7 +953,12 @@ def orders_of_active_users(sf_dir: str) -> pd.DataFrame:
         maybe = b.contains(keys)  # bloom prefilter: no false negatives
         confirmed = maybe.copy()
         idx = np.nonzero(maybe)[0]
-        confirmed[idx] = [keys[i] in exact for i in idx]  # exact confirm
+        # exact confirm, vectorized: searchsorted membership in the sorted key array
+        if len(exact):
+            pos = np.minimum(np.searchsorted(exact, keys[idx]), len(exact) - 1)
+            confirmed[idx] = exact[pos] == keys[idx]
+        else:
+            confirmed[idx] = False
         return t.filter(pa.array(confirmed))
 
     out = (

@@ -161,3 +161,23 @@ def test_distributed_components_long_chain(_ray):
 def test_minhash_dedup_distributed_components_match(_ray, minhash_result):
     via_dist = dedup.minhash_dedup(SF_DIR, components="distributed")
     assert via_dist.equals(minhash_result)
+
+
+def test_ivf_index_partition_pruning(_ray, tmp_path):
+    """The stored IVF index is cell-partitioned and the query path's pruned
+    read only touches probed cells' directories."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    idx = str(tmp_path / "ivf")
+    embeddings.build_ivf_index(SF_DIR, idx, n_cells=8)
+    cells = sorted(glob.glob(os.path.join(idx, "cell=*")))
+    assert len(cells) >= 2, "index not partitioned by cell"
+    probe = embeddings.probed_cell_paths(idx, [0, 1])
+    assert all("/cell=0/" in p or "/cell=1/" in p for p in probe)
+    sub = rd.read_parquet(probe).count()
+    full = rd.read_parquet(idx).count()
+    assert full == N_DOCS
+    assert 0 < sub < full, "pruned read did not prune"
