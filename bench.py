@@ -62,17 +62,35 @@ def main() -> None:
 
     import ray
 
+    from data_quality_ray.synth.clips import CLIP_SF_ROWS, clip_sf_name
+
+    # ---- untimed setup: synth clips (cached), generated in a SEPARATE
+    # process/Ray session so the timed session below starts clean (a cold
+    # cache must not leave object-store or scheduler residue in the
+    # session being measured) ----
+    name = clip_sf_name(sf_dir)
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from data_quality_ray.synth.clips import ensure_clips;"
+            f"print(ensure_clips({name!r}))",
+        ],
+        env=dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    clips_root = gen.stdout.strip().splitlines()[-1]
+    clips_dir = os.path.join(clips_root, "clips")
+
     from data_quality_ray.session import init_local_session
 
     init_local_session(num_cpus)
 
-    from data_quality_ray.synth.clips import CLIP_SF_ROWS, clip_sf_name, ensure_clips
     from data_quality_ray.pipelines import quality, relational, dedup, embeddings
 
-    # ---- untimed setup: synth clips (cached) + page-cache warm ----
-    name = clip_sf_name(sf_dir)
-    clips_root = ensure_clips(name)
-    clips_dir = os.path.join(clips_root, "clips")
+    # ---- untimed page-cache warm ----
     n_rows = CLIP_SF_ROWS[name]
     for d in (clips_dir, sf_dir):
         for f in os.listdir(d):

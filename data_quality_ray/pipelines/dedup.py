@@ -728,13 +728,19 @@ grams AS (
          END AS g
   FROM toks
 ),
+grams2 AS (
+  SELECT doc_id, g, len(g) AS gl FROM grams
+),
 jpairs AS (
-  SELECT a, b, jaccard FROM (
-    SELECT ga.doc_id AS a, gb.doc_id AS b,
-           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-             / len(list_distinct(ga.g || gb.g)) AS jaccard
-    FROM grams ga JOIN grams gb ON ga.doc_id < gb.doc_id
-  ) WHERE jaccard >= 0.5
+  -- |A∪B| = |A|+|B|-|A∩B| (gram lists are distinct), and J ≥ 0.5 forces
+  -- 2·min(|A|,|B|) ≥ max(|A|,|B|) — the length-ratio join predicate is an
+  -- EXACT prefilter, not an approximation
+  SELECT a, b, CAST(i AS DOUBLE) / (gla + glb - i) AS jaccard FROM (
+    SELECT ga.doc_id AS a, gb.doc_id AS b, ga.gl AS gla, gb.gl AS glb,
+           len(list_intersect(ga.g, gb.g)) AS i
+    FROM grams2 ga JOIN grams2 gb
+      ON ga.doc_id < gb.doc_id AND ga.gl * 2 >= gb.gl AND gb.gl * 2 >= ga.gl
+  ) WHERE CAST(i AS DOUBLE) / (gla + glb - i) >= 0.5
 )
 """
 
