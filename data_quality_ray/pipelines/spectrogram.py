@@ -88,9 +88,14 @@ class SpectrogramStage:
         )
 
 
-def create_spectrogram_dataset(clips_dir: str, out_dir: str) -> dict:
+def create_spectrogram_dataset(
+    clips_dir: str, out_dir: str, *, render_pngs: int = 0
+) -> dict:
     """Streaming spectrogram pipeline: read → decode+STFT (actor pool) →
-    write parquet partitioned by split. Returns row counts per split."""
+    write parquet partitioned by split. Returns row counts per split.
+
+    ``render_pngs=N`` additionally renders N sample spectrograms as PNG
+    files under ``out_dir/_samples`` (the reference's K4 plot sink role)."""
     import ray.data as rd
 
     from data_quality_ray import config
@@ -107,4 +112,71 @@ def create_spectrogram_dataset(clips_dir: str, out_dir: str) -> dict:
         (r["split"], r["count()"])
         for r in rd.read_parquet(out_dir, columns=["split"]).groupby("split").count().take_all()
     )
+    if render_pngs:
+        render_spectrogram_pngs(clips_dir, os.path.join(out_dir, "_samples"), limit=render_pngs)
     return counts
+
+
+# 6-anchor "inferno-like" ramp, linearly interpolated to a 256×3 LUT — a
+# perceptual-ish colormap without any plotting library
+_CMAP_ANCHORS = np.array(
+    [
+        (0, 0, 4),
+        (40, 11, 84),
+        (121, 28, 109),
+        (202, 62, 81),
+        (251, 140, 41),
+        (252, 255, 164),
+    ],
+    dtype=np.float64,
+)
+
+
+def _colormap_lut() -> np.ndarray:
+    xs = np.linspace(0, 255, len(_CMAP_ANCHORS))
+    out = np.empty((256, 3), dtype=np.uint8)
+    for c in range(3):
+        out[:, c] = np.interp(np.arange(256), xs, _CMAP_ANCHORS[:, c]).astype(np.uint8)
+    return out
+
+
+def render_spectrogram_pngs(
+    clips_dir: str, out_dir: str, *, limit: int = 16, db_floor: float = -80.0
+) -> list[str]:
+    """Render sample spectrograms as PNG files — the reference's K4
+    visualization sink (eeg_datasets.py:110-152 ``plot_spectrograms``,
+    eeg_features.py:31-37,62), re-expressed as a bounded side output: the
+    first ``limit`` clips stream through decode→STFT and each map task
+    writes its own PNGs (pure-stdlib encoder, functions/image_codecs.py) —
+    no driver-side image accumulation, no plotting library.
+
+    Returns the sorted written file names."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.image_codecs import encode_png
+
+    os.makedirs(out_dir, exist_ok=True)
+    lut = _colormap_lut()
+    ds = rd.read_parquet(
+        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
+    ).limit(limit)
+
+    def render(t: pa.Table) -> pa.Table:
+        names = []
+        for i in range(t.num_rows):
+            pcm = codecs.decode_tolerant(
+                t["bytes"][i].as_py(), t["codec"][i].as_py(), int(t["sr_hz"][i].as_py())
+            )
+            if pcm is None:
+                continue
+            s = stft_db(np.nan_to_num(pcm.astype(np.float64)))  # (frames, bins) ≤ 0 dB
+            img8 = np.clip((s - db_floor) * (255.0 / -db_floor), 0, 255).astype(np.uint8)
+            rgb = lut[img8.T[::-1]]  # freq on y (low at bottom), time on x
+            name = f"{t['clip_id'][i].as_py()}.png"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(encode_png(rgb))
+            names.append(name)
+        return pa.table({"file": pa.array(names, pa.string())})
+
+    out = ds.map_batches(render, batch_format="pyarrow").to_pandas()
+    return sorted(out["file"])

@@ -39,15 +39,27 @@ VIDEO_SCHEMA = pa.schema(
 
 
 def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
-    """bytes → (h, w, 3) uint8. Real only for the deterministic fake codec."""
+    """bytes → (h, w, 3) uint8.
+
+    REAL decoders: ``png`` (stdlib-zlib inflate + scanline unfiltering) and
+    ``bmp`` (24 bpp BI_RGB) via :mod:`data_quality_ray.functions.image_codecs`,
+    plus the header-free deterministic ``fake-rgb8`` test codec. Only
+    formats that require a native library (jpeg/webp) remain declared
+    stubs."""
+    from data_quality_ray.functions import image_codecs
+
     if fmt == "fake-rgb8":
         expect = width * height * 3
         if len(buf) != expect:
             raise ValueError(f"fake-rgb8 payload {len(buf)} != {expect}")
         return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+    if fmt == "png":
+        return image_codecs.decode_png(buf)
+    if fmt == "bmp":
+        return image_codecs.decode_bmp(buf)
     raise NotImplementedError(
-        f"image codec {fmt!r}: real decoders (jpeg/png/webp) are not available "
-        "in this environment — plug a decoder into decode_image()"
+        f"image codec {fmt!r}: decoders needing a native library (jpeg/webp) "
+        "are not available in this environment — plug one into decode_image()"
     )
 
 
@@ -132,16 +144,26 @@ class FrameSampleStage:
 
 
 def synth_images(n: int, width: int = 16, height: int = 12, seed: int = 5) -> pa.Table:
-    """Deterministic fake-codec image table for tests/demos."""
+    """Deterministic image table mixing REAL on-disk formats (png, bmp),
+    the raw fake codec, and a declared-stub format (jpeg) for tests/demos."""
+    from data_quality_ray.functions import image_codecs
+
     rows = {k: [] for k in ("image_id", "bytes", "width", "height", "format")}
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+        fmt = "jpeg" if i % 7 == 0 else ("fake-rgb8", "png", "bmp")[i % 3]
+        if fmt == "png":
+            payload = image_codecs.encode_png(img)
+        elif fmt == "bmp":
+            payload = image_codecs.encode_bmp(img)
+        else:  # fake-rgb8 raw frames; jpeg rows carry raw bytes (stub path)
+            payload = img.tobytes()
         rows["image_id"].append(f"img-{i:06d}")
-        rows["bytes"].append(img.tobytes())
+        rows["bytes"].append(payload)
         rows["width"].append(width)
         rows["height"].append(height)
-        rows["format"].append("fake-rgb8" if i % 7 else "jpeg")  # some stubs
+        rows["format"].append(fmt)
     return pa.table(
         {
             "image_id": pa.array(rows["image_id"], pa.string()),

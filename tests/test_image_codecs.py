@@ -1,0 +1,153 @@
+"""Pure-stdlib PNG/BMP codecs: round-trips, every PNG filter type, edge
+shapes, and end-to-end decode through the image feature stage."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from data_quality_ray.functions import image_codecs as ic
+
+
+def _rand_img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip():
+    img = _rand_img(13, 17, seed=1)  # odd sizes
+    assert np.array_equal(ic.decode_png(ic.encode_png(img)), img)
+
+
+def test_png_roundtrip_large_compressible():
+    img = np.tile(np.arange(256, dtype=np.uint8)[None, :, None], (64, 1, 3))
+    buf = ic.encode_png(img)
+    assert len(buf) < img.nbytes / 4  # actually compressed
+    assert np.array_equal(ic.decode_png(buf), img)
+
+
+def _png_with_filter(img: np.ndarray, filt: int) -> bytes:
+    """Hand-assemble a PNG whose every scanline uses the given filter type
+    (forward-filtering per the spec) — exercises the decoder's unfilter
+    paths the canonical encoder (filter 0) never emits."""
+    h, w, _ = img.shape
+    bpp = 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filt == 0:
+            enc = cur
+        elif filt == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif filt == 2:
+            enc = (cur - prev) & 0xFF
+        elif filt == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filt == 4:
+            enc = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        raw.append(filt)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + ic._chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_decode_every_filter_type(filt):
+    img = _rand_img(7, 11, seed=10 + filt)
+    assert np.array_equal(ic.decode_png(_png_with_filter(img, filt)), img)
+
+
+def test_png_gray_and_rgba():
+    h, w = 5, 6
+    gray = np.random.default_rng(2).integers(0, 256, (h, w), dtype=np.uint8)
+    raw = np.hstack([np.zeros((h, 1), np.uint8), gray]).tobytes()
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + ic._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + ic._chunk(b"IDAT", zlib.compress(raw))
+        + ic._chunk(b"IEND", b"")
+    )
+    out = ic.decode_png(buf)
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    rgba = np.random.default_rng(3).integers(0, 256, (h, w, 4), dtype=np.uint8)
+    raw = np.hstack([np.zeros((h, 1), np.uint8), rgba.reshape(h, w * 4)]).tobytes()
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + ic._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + ic._chunk(b"IDAT", zlib.compress(raw))
+        + ic._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(ic.decode_png(buf), rgba[:, :, :3])
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        ic.decode_png(b"not a png at all")
+
+
+def test_bmp_roundtrip_padded_rows():
+    # w=5 → stride 16 (padding exercised); also even-width case
+    for w in (5, 8):
+        img = _rand_img(9, w, seed=20 + w)
+        assert np.array_equal(ic.decode_bmp(ic.encode_bmp(img)), img)
+
+
+def test_bmp_topdown_variant():
+    img = _rand_img(4, 4, seed=30)
+    buf = bytearray(ic.encode_bmp(img[::-1]))  # encoder writes bottom-up
+    # flip the height sign → top-down storage of the same byte payload
+    buf[22:26] = struct.pack("<i", -4)
+    assert np.array_equal(ic.decode_bmp(bytes(buf)), img[::-1][::-1])
+
+
+def test_image_stage_decodes_real_formats(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.stages import multimodal as mm
+
+    tbl = mm.synth_images(50)
+    fmts = tbl["format"].to_pylist()
+    assert {"png", "bmp", "fake-rgb8", "jpeg"} <= set(fmts)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(mm.ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    ok = out.set_index("image_id")["decode_ok"]
+    for i, fmt in enumerate(fmts):
+        assert ok[f"img-{i:06d}"] == (fmt != "jpeg")
+
+
+def test_spectrogram_png_sink(ray_session, clips_dir_1k, tmp_path):
+    """K4 role: sample spectrograms render to REAL decodable PNG files."""
+    from data_quality_ray.pipelines.spectrogram import render_spectrogram_pngs
+
+    out = str(tmp_path / "pngs")
+    names = render_spectrogram_pngs(clips_dir_1k, out, limit=6)
+    assert 1 <= len(names) <= 6
+    for n in names:
+        with open(f"{out}/{n}", "rb") as f:
+            img = ic.decode_png(f.read())
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.shape[0] == 129  # N_FFT//2+1 frequency bins on y
