@@ -129,7 +129,13 @@ def _q_clip_audio_embeddings(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from data_quality_ray.pipelines import dedup, documents, embeddings, relational
+    from data_quality_ray.pipelines import (
+        dedup,
+        documents,
+        embeddings,
+        relational,
+        relational_ext,
+    )
 
     return {
         # flagship clip pipeline (model-based → rows-only driver check)
@@ -156,6 +162,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": relational.events_value_stats,
         "orders_of_active_users": relational.orders_of_active_users,
         "top_orders_per_customer": relational.top_orders_per_customer,
+        # extended relational surface (round 2 — all SQL-checked)
+        "events_props_extract": relational_ext.events_props_extract,
+        "events_weekly_users": relational_ext.events_weekly_users,
+        "events_value_median": relational_ext.events_value_median,
+        "events_user_gaps": relational_ext.events_user_gaps,
+        "revenue_rollup": relational_ext.revenue_rollup,
+        "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
+        "events_in_order_window": relational_ext.events_in_order_window,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -188,7 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from data_quality_ray.functions.hashing import TEST_HEX_DIGITS_SQL
-    from data_quality_ray.pipelines import dedup, documents, embeddings, relational
+    from data_quality_ray.pipelines import (
+        dedup,
+        documents,
+        embeddings,
+        relational,
+        relational_ext,
+    )
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -209,6 +229,13 @@ def oracle_sql() -> dict[str, str]:
         "events_value_stats": relational.EVENTS_VALUE_STATS_SQL,
         "orders_of_active_users": relational.ORDERS_OF_ACTIVE_USERS_SQL,
         "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "events_props_extract": relational_ext.EVENTS_PROPS_EXTRACT_SQL,
+        "events_weekly_users": relational_ext.EVENTS_WEEKLY_USERS_SQL,
+        "events_value_median": relational_ext.EVENTS_VALUE_MEDIAN_SQL,
+        "events_user_gaps": relational_ext.EVENTS_USER_GAPS_SQL,
+        "revenue_rollup": relational_ext.REVENUE_ROLLUP_SQL,
+        "repeat_customers_intersect": relational_ext.REPEAT_CUSTOMERS_INTERSECT_SQL,
+        "events_in_order_window": relational_ext.EVENTS_IN_ORDER_WINDOW_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

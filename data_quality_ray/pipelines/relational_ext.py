@@ -1,0 +1,416 @@
+"""Extended relational surface (round 2): semi-structured extraction,
+calendar truncation, exact median, lead/lag windows, rollup, set ops and a
+range join — every query DuckDB-oracle-checked with the same exactness
+discipline as pipelines/relational.py (integer fixed-point for money/values,
+RE2-compatible regexes, identical column names/aliases on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON props → typed column → aggregate
+# ---------------------------------------------------------------------------
+
+
+def events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Extract the integer ``k`` from the JSON ``props`` column (vectorized
+    ``pc.extract_regex`` — RE2, same pattern DuckDB runs) and aggregate it
+    per event type. The extraction is a pure map; the aggregate is the
+    usual map-side-combinable groupby."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    return out[["event_type", "k_sum", "n_events"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+EVENTS_PROPS_EXTRACT_SQL = r"""
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar truncation + exact distinct count: weekly active users
+# ---------------------------------------------------------------------------
+
+
+def events_weekly_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per Monday-started week.
+
+    Week truncation is integer day arithmetic (epoch day 0 = Thursday, so
+    Monday-trunc = day − ((day+3) mod 7) — identical to DuckDB's
+    ``date_trunc('week')``); the distinct count is the scale-shaped
+    TWO-PHASE groupby: (week, user) dedupe first, then count per week —
+    never a driver-side set."""
+
+    def week(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        wk = day - ((day + 3) % 7)
+        return pa.table(
+            {"week_day": pa.array(wk, pa.int64()), "user_id": t["user_id"]}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
+        .map_batches(week, batch_format="pyarrow")
+        .groupby(["week_day", "user_id"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("week_day")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    return out[["week_day", "n_users"]].sort_values("week_day").reset_index(drop=True)
+
+
+EVENTS_WEEKLY_USERS_SQL = """
+SELECT CAST(datediff('day', DATE '1970-01-01', CAST(date_trunc('week', ts) AS DATE)) AS BIGINT)
+         AS week_day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY week_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact median (order statistic) per group
+# ---------------------------------------------------------------------------
+
+
+def events_value_median(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type median of value (1e-6 fixed point).
+
+    ``groupby(event_type).map_groups`` with an in-group ``np.partition``
+    selection — the partitioning assumption (one type's rows fit a worker)
+    is the same one ``orders_running_total`` documents; the bounded-domain
+    scale path is a two-pass distributed histogram refine on value_e6,
+    which stays exact because the domain is integer."""
+
+    def to_e6(t: pa.Table) -> pa.Table:
+        e6 = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        return pa.table({"event_type": t["event_type"], "value_e6": e6})
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value_e6"].to_numpy()
+        n = len(v)
+        if n % 2:
+            m = float(np.partition(v, n // 2)[n // 2])
+        else:
+            lo = np.partition(v, n // 2 - 1)[n // 2 - 1]
+            hi = np.partition(v, n // 2)[n // 2]
+            m = (float(lo) + float(hi)) / 2.0
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_value": [m / 1_000_000.0]}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(to_e6, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_MEDIAN_SQL = """
+SELECT event_type,
+       median(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag window: gap since the user's previous event
+# ---------------------------------------------------------------------------
+
+
+def events_user_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per event: microseconds since the same user's previous event (−1 for
+    the first). ``groupby(user).map_groups`` supplies the partition-by; the
+    in-group sort (ts, event_id) is the ORDER BY; the diff is vectorized."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        if len(ts) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "gap_us": gap})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_USER_GAPS_SQL = """
+SELECT event_id,
+       coalesce(CAST(epoch_us(ts) AS BIGINT)
+                - lag(CAST(epoch_us(ts) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup: revenue by (region, nation) with subtotals and grand total
+# ---------------------------------------------------------------------------
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """Order revenue at three grains — (region, nation), per-region, grand
+    total — in ONE pass: the dimension chain customer→nation→region is tiny
+    and broadcast once; orders stream through a per-batch combiner; the
+    rollup levels are derived from the ≤|nations| base aggregate on the
+    driver (re-aggregating partials, not data)."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"))
+    reg = pd.read_parquet(_pq(sf_dir, "region"))
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    lookup = dict(zip(dim["c_custkey"], zip(dim["r_name"], dim["n_name"])))
+    ref = ray.put(lookup)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        cents = np.floor(b["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64")
+        rn = b["o_custkey"].map(lk)
+        df = pd.DataFrame(
+            {
+                "region": rn.map(lambda x: x[0]),
+                "nation": rn.map(lambda x: x[1]),
+                "e4": cents,
+            }
+        )
+        g = df.groupby(["region", "nation"], as_index=False).agg(
+            e4=("e4", "sum"), n_orders=("e4", "size")
+        )
+        return g
+
+    base = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["region", "nation"])
+        .aggregate(Sum("e4", alias_name="e4"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    lvl1 = base.groupby("region", as_index=False).agg(e4=("e4", "sum"), n_orders=("n_orders", "sum"))
+    lvl1["nation"] = "ALL"
+    total = pd.DataFrame(
+        {"region": ["ALL"], "nation": ["ALL"], "e4": [base["e4"].sum()], "n_orders": [base["n_orders"].sum()]}
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    out["revenue"] = ((out.pop("e4").to_numpy() + 50) // 100) / 100.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["region", "nation", "revenue", "n_orders"]].sort_values(
+        ["region", "nation"]
+    ).reset_index(drop=True)
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       ((sum(CAST(round(o_totalprice * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set op: customers ordering in BOTH years (INTERSECT)
+# ---------------------------------------------------------------------------
+
+
+def repeat_customers_intersect(sf_dir: str, y1: int = 1996, y2: int = 1997) -> pd.DataFrame:
+    """INTERSECT of two filtered key sets without materializing either on
+    the driver: one pass tags each order with its year-flag bit, a groupby
+    ORs the bits per customer, and the filter keeps custkeys carrying both
+    bits (Max aggregates per bit — map-side combinable)."""
+    from ray.data.aggregate import Max
+
+    lo1 = pa.scalar(pd.Timestamp(f"{y1}-01-01"), pa.timestamp("us"))
+    lo2 = pa.scalar(pd.Timestamp(f"{y2}-01-01"), pa.timestamp("us"))
+    hi2 = pa.scalar(pd.Timestamp(f"{y2 + 1}-01-01"), pa.timestamp("us"))
+
+    def flags(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "in1": pa.array((y == y1).astype(np.int8)),
+                "in2": pa.array((y == y2).astype(np.int8)),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderdate"],
+            filter=(pc.field("o_orderdate") >= lo1) & (pc.field("o_orderdate") < hi2),
+        )
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("in1", alias_name="in1"), Max("in2", alias_name="in2"))
+        .to_pandas()
+    )
+    keep = out[(out["in1"] > 0) & (out["in2"] > 0)][["o_custkey"]].astype("int64")
+    return keep.sort_values("o_custkey").reset_index(drop=True)
+
+
+REPEAT_CUSTOMERS_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join: events within 7 days after each order
+# ---------------------------------------------------------------------------
+
+
+def events_in_order_window(sf_dir: str, days: int = 7, n_buckets: int = 32) -> pd.DataFrame:
+    """For each order: how many of that user's events fall in
+    [o_orderdate, o_orderdate + days) — a per-key RANGE JOIN.
+
+    Shape: co-partition both sides by hash(user) (one schema-aligned union
+    + groupby shuffle); inside each bucket, per user the event timestamps
+    are sorted once and every order's window count is two vectorized
+    searchsorteds. Per-task memory O(rows / n_buckets); no broadcast of
+    either fact table."""
+    win_us = days * 86_400_000_000
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        users = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "user": pa.array(users, pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        users = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+                "user": pa.array(users, pa.int64()),
+                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+            }
+        )
+
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"]).map_batches(
+        ev_rows, batch_format="pyarrow"
+    )
+    od = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        od_g = g[g["side"] == 1]
+        if od_g.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        ev_g = g[g["side"] == 0]
+        out_k: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        ev_by_user = {u: np.sort(sub["ts_us"].to_numpy()) for u, sub in ev_g.groupby("user")}
+        for u, sub in od_g.groupby("user"):
+            starts = sub["ts_us"].to_numpy()
+            ts = ev_by_user.get(u)
+            if ts is None:
+                n = np.zeros(len(starts), dtype=np.int64)
+            else:
+                n = np.searchsorted(ts, starts + win_us, side="left") - np.searchsorted(
+                    ts, starts, side="left"
+                )
+            out_k.append(sub["o_orderkey"].to_numpy())
+            out_n.append(n.astype(np.int64))
+        return pd.DataFrame(
+            {"o_orderkey": np.concatenate(out_k), "n_events": np.concatenate(out_n)}
+        )
+
+    out = (
+        ev.union(od)
+        .groupby("bucket")
+        .map_groups(count_window, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+EVENTS_IN_ORDER_WINDOW_SQL = """
+SELECT o.o_orderkey,
+       (SELECT count(*) FROM events e
+        WHERE e.user_id = o.o_custkey
+          AND e.ts >= o.o_orderdate
+          AND e.ts < o.o_orderdate + INTERVAL 7 DAY) AS n_events
+FROM orders o
+ORDER BY o.o_orderkey
+"""
