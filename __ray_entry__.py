@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": relational_ext.revenue_rollup,
         "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
         "events_in_order_window": relational_ext.events_in_order_window,
+        "q3_shipping_priority": relational_ext.q3_shipping_priority,
+        "events_trailing_hour": relational_ext.events_trailing_hour,
+        "doc_stratified_sample": relational_ext.doc_stratified_sample,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -236,6 +239,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": relational_ext.REVENUE_ROLLUP_SQL,
         "repeat_customers_intersect": relational_ext.REPEAT_CUSTOMERS_INTERSECT_SQL,
         "events_in_order_window": relational_ext.EVENTS_IN_ORDER_WINDOW_SQL,
+        "q3_shipping_priority": relational_ext.Q3_SHIPPING_PRIORITY_SQL,
+        "events_trailing_hour": relational_ext.EVENTS_TRAILING_HOUR_SQL,
+        "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

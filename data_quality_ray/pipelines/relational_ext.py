@@ -414,3 +414,218 @@ SELECT o.o_orderkey,
 FROM orders o
 ORDER BY o.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q3-style 3-way join: segment × date-filtered revenue top-k
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    """Top-k revenue among orders of one market segment placed before a
+    cutoff with line items shipped after it (TPC-H Q3 shape).
+
+    Join discipline by side size: customer is dimension-grain → its
+    filtered key set broadcasts; orders×lineitem are both facts → the
+    explicit bucket-partitioned hash join on orderkey (one co-partitioning
+    shuffle, schema-aligned union), per-bucket combiner, then a tiny global
+    groupby + distributed sort + limit."""
+    cutoff = pd.Timestamp("1995-03-15")
+    cut = pa.scalar(cutoff, pa.timestamp("us"))
+    n_buckets = 32
+
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust[cust["c_mktsegment"] == segment]["c_custkey"].to_numpy())
+    kref = ray.put(keys)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = t["o_custkey"].to_numpy()
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+            m = ks[pos] == ck
+        else:
+            m = np.zeros(len(ck), dtype=bool)
+        t = t.filter(pa.array(m))
+        key = t["o_orderkey"]
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+                ),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "rev_e4": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "priority": t["o_orderpriority"],
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        e4 = pc.cast(
+            pc.round(pc.multiply(rev, pa.scalar(10_000.0)), round_mode="half_up"), pa.int64()
+        )
+        key = t["l_orderkey"]
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+                ),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "rev_e4": e4,
+                "odate_us": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "priority": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cut),
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cut),
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[g["side"] == 1][["key", "odate_us", "priority"]]
+        left = g[g["side"] == 0][["key", "rev_e4"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "odate_us": pd.Series([], dtype="int64"),
+                    "priority": pd.Series([], dtype="object"),
+                    "rev_e4": pd.Series([], dtype="int64"),
+                }
+            )
+        return m.groupby(["key", "odate_us", "priority"], as_index=False).agg(
+            rev_e4=("rev_e4", "sum")
+        )
+
+    agg = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .groupby(["key", "odate_us", "priority"])
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .sort(["rev_e4", "key"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    agg["revenue"] = ((agg.pop("rev_e4").to_numpy() + 50) // 100) / 100.0
+    agg["o_orderdate_day"] = agg.pop("odate_us").to_numpy() // 86_400_000_000
+    out = agg.rename(columns={"key": "l_orderkey", "priority": "o_orderpriority"})
+    return out[["l_orderkey", "revenue", "o_orderdate_day", "o_orderpriority"]].reset_index(
+        drop=True
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0
+         AS revenue,
+       CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS o_orderdate_day,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: trailing 1-hour event count per event (RANGE window)
+# ---------------------------------------------------------------------------
+
+
+def events_trailing_hour(sf_dir: str) -> pd.DataFrame:
+    """Per event: number of the same user's events in the closed trailing
+    hour [ts − 1h, ts] — a RANGE-frame sliding window. groupby(user) →
+    in-group sort → two vectorized searchsorteds (peers with equal ts
+    included, matching SQL RANGE semantics)."""
+    hour_us = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def trail(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        n = np.searchsorted(ts, ts, side="right") - np.searchsorted(
+            ts, ts - hour_us, side="left"
+        )
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "n_trailing": n.astype(np.int64)}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(trail, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_TRAILING_HOUR_SQL = """
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_trailing
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample (content-keyed; identical on any cluster)
+# ---------------------------------------------------------------------------
+
+
+def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """~1/8 deterministic sample of documents WITHIN each language stratum:
+    keep rows whose md5(lang:doc_id) first hex digit is 0 or 1. Content-
+    keyed (no RNG state), so the sample is identical at any parallelism —
+    and exactly reproducible in SQL."""
+    import hashlib
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        m = [
+            hashlib.md5(f"{l}:{i}".encode()).hexdigest()[0] in ("0", "1")
+            for l, i in zip(langs, ids)
+        ]
+        return t.filter(pa.array(m))
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+ORDER BY doc_id
+"""
