@@ -83,8 +83,10 @@ def decode_features(batch: pa.Table, *, drop_payload: bool = False) -> pa.Table:
         p = float(np.mean(x * x))
         rms[i] = 10.0 * np.log10(p) if p > 0 else -120.0
         peak[i] = float(np.max(np.abs(x)))
-        spec = np.fft.rfft(x)
-        e = spec.real * spec.real + spec.imag * spec.imag
+        # float32 transform (native pocketfft path, ~20% faster on these
+        # lengths); energies accumulate in float64 from the first multiply
+        spec = np.fft.rfft(x.astype(np.float32))
+        e = (spec.real.astype(np.float64) ** 2) + (spec.imag.astype(np.float64) ** 2)
         # bin k sits at freq k·sr/len(x); all band/notch ranges become
         # half-open index ranges on the cumulative energy
         scale = len(x) / float(CANONICAL_SR)
