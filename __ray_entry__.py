@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "jaccard_cluster_reps": dedup.jaccard_cluster_reps,
+        "doc_duplicate_spans": dedup.doc_duplicate_spans,
         # similarity search
         "ann_brute_force": embeddings.ann_brute_force,
         "ann_lsh": embeddings.ann_lsh,
@@ -257,5 +258,6 @@ FROM documents ORDER BY doc_id
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "jaccard_cluster_reps": dedup.JACCARD_CLUSTER_REPS_SQL,
+        "doc_duplicate_spans": dedup.DOC_DUPLICATE_SPANS_SQL,
         "ann_brute_force": embeddings.ANN_BRUTE_FORCE_SQL,
     }

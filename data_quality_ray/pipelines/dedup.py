@@ -831,3 +831,111 @@ def connected_components_distributed(pairs: pd.DataFrame, all_ids: list[int]) ->
     label = _cc_labels_distributed(pairs)
     ids = sorted(all_ids)
     return pd.DataFrame({"doc_id": ids, "cluster_rep": [label.get(i, i) for i in ids]})
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans (token-window dedup)
+# ---------------------------------------------------------------------------
+
+
+def _span_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct hashes of the k-token sliding windows of a document; EMPTY
+    for docs with fewer than k tokens (unlike ``_shingle_hashes``, which
+    folds short docs into one pseudo-shingle for whole-doc similarity)."""
+    toks = T.ws_tokens(T.normalize_for_fingerprint(text))
+    if len(toks) < k:
+        return np.array([], dtype=np.uint64)
+    return _shingle_hashes(text, k)
+
+
+def doc_duplicate_spans(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Per document: how many of its distinct k-token windows also occur in
+    at least one OTHER document — substring-grain duplication measurement
+    (the window-hash approximation of suffix-array substring dedup used
+    for training-corpus cleaning).
+
+    Shape: window-hash explode (vectorized k-gram mix, one row per distinct
+    (window, doc)) → n_windows via groupby(doc) count → shared-window
+    filter inside hash-partitioned groups (a window's full doc set is
+    co-located by pkey = f(whash), so the ≥2-docs decision is exact and
+    local) → n_shared via groupby(doc) count. All counting distributed;
+    the driver only assembles the three result-grain aggregates."""
+    docs = _docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        wh_out: list[np.ndarray] = []
+        ids = t["doc_id"].to_numpy()
+        for i, x in enumerate(t["text"].to_pylist()):
+            w = _span_hashes(x, k)
+            if len(w):
+                wh_out.append(w)
+                ids_out.append(np.full(len(w), ids[i], dtype=np.int64))
+        if not wh_out:
+            return pa.schema([("whash", pa.uint64()), ("doc_id", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "whash": pa.array(np.concatenate(wh_out), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(explode, batch_format="pyarrow").materialize()  # reused 2×
+
+    from ray.data.aggregate import Count as _Count
+
+    totals = rows.groupby("doc_id").aggregate(_Count(alias_name="n_windows")).to_pandas()
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        wh = t["whash"].to_numpy()
+        with np.errstate(over="ignore"):
+            pk = ((wh * _MIX2) >> np.uint64(33)) % np.uint64(N_PAIR_PARTITIONS)
+        return t.append_column("pkey", pa.array(pk.astype(np.int64), pa.int64()))
+
+    def shared_only(g: pd.DataFrame) -> pd.DataFrame:
+        # (whash, doc) rows are distinct → per-whash row count == distinct docs
+        keep = g.groupby("whash")["doc_id"].transform("size") >= 2
+        return g.loc[keep, ["doc_id"]]
+
+    shared = (
+        rows.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(shared_only, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(_Count(alias_name="n_shared"))
+        .to_pandas()
+    )
+
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()
+    out = all_ids.merge(totals, on="doc_id", how="left").merge(shared, on="doc_id", how="left")
+    out["n_windows"] = out["n_windows"].fillna(0).astype("int64")
+    out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_DUPLICATE_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ntext,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN ntext = '' OR len(tk) < 8 THEN []
+              ELSE list_distinct([array_to_string(tk[i:i+7], ' ')
+                                  FOR i IN range(1, len(tk) - 6)])
+         END AS ws
+  FROM toks
+),
+uw AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+shared AS (SELECT w FROM uw GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+per_doc_shared AS (
+  SELECT uw.doc_id, count(*) AS n_shared FROM uw JOIN shared USING (w) GROUP BY uw.doc_id
+)
+SELECT w1.doc_id,
+       CAST(len(w1.ws) AS BIGINT) AS n_windows,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared
+FROM wins w1 LEFT JOIN per_doc_shared s USING (doc_id)
+ORDER BY w1.doc_id
+"""

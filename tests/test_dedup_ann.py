@@ -181,3 +181,13 @@ def test_ivf_index_partition_pruning(_ray, tmp_path):
     full = rd.read_parquet(idx).count()
     assert full == N_DOCS
     assert 0 < sub < full, "pruned read did not prune"
+
+
+def test_doc_duplicate_spans_planted(_ray):
+    """Substring-window dedup: the corpus's genuine near-dup docs must show
+    shared windows; fully-unique docs must not."""
+    out = dedup.doc_duplicate_spans(SF_DIR)
+    assert len(out) == N_DOCS
+    assert (out["n_shared"] <= out["n_windows"]).all()
+    assert (out["n_shared"] > 0).sum() >= 10  # planted near-dups share spans
+    assert (out["n_shared"] == 0).sum() >= 100  # most docs are unique
