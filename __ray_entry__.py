@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational_ext.q3_shipping_priority,
         "events_trailing_hour": relational_ext.events_trailing_hour,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
+        "events_user_hll": relational_ext.events_user_hll,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,

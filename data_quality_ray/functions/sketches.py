@@ -1,0 +1,58 @@
+"""Mergeable sketches for distributed approximate aggregation.
+
+HyperLogLog (Flajolet et al. 2007, public algorithm) from scratch in numpy:
+fixed 2^p registers, vectorized accumulate (one hash pass + one
+``np.maximum.at`` per batch), exact merge = elementwise register max —
+the associative/commutative property that makes it a map-side combinable
+distributed aggregate. Standard error ≈ 1.04/√m (~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def hll_empty() -> np.ndarray:
+    return np.zeros(HLL_M, dtype=np.uint8)
+
+
+def hll_accumulate(regs: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Fold a value array into the register set (vectorized)."""
+    if len(values) == 0:
+        return regs
+    h = pd.util.hash_array(np.ascontiguousarray(values), categorize=False).astype(np.uint64)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)  # sentinel low bits
+    # rank = leading zeros of the remaining 64-p bits + 1
+    nbits = 64 - HLL_P
+    rank = np.ones(len(h), dtype=np.uint8)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        if shift >= nbits:
+            continue
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        rank[mask] += shift
+        with np.errstate(over="ignore"):
+            cur = np.where(mask, cur << np.uint64(shift), cur)
+    rank = np.minimum(rank, nbits + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected estimate with the standard small-range correction."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return int(round(est))

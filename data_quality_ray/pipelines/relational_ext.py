@@ -629,3 +629,47 @@ SELECT doc_id, lang FROM documents
 WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct count via a mergeable HyperLogLog aggregate
+# ---------------------------------------------------------------------------
+
+
+def events_user_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via a from-scratch
+    HyperLogLog (functions/sketches.py) run as a proper distributed
+    aggregate: each batch folds its values into per-type register partials
+    (map-side combine — 4 KB per type per block leaves the stage, never
+    the values), the groupby merges registers by elementwise max, and only
+    the final estimate is materialized. Deterministic (fixed hash), so the
+    result is identical at any parallelism. Accuracy vs exact distinct is
+    test-gated (~1.6% typical at p=12); no SQL oracle by design — the
+    exact-distinct counterpart is ``events_weekly_users``."""
+    from data_quality_ray.functions import sketches as sk
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in b.groupby("event_type"):
+            regs = sk.hll_accumulate(sk.hll_empty(), g["user_id"].to_numpy())
+            rows.append({"event_type": etype, "regs": regs.tobytes()})
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = sk.hll_empty()
+        for buf in g["regs"]:
+            regs = sk.hll_merge(regs, np.frombuffer(buf, dtype=np.uint8))
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "n_users_approx": [sk.hll_estimate(regs)]}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_users_approx"] = out["n_users_approx"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -52,15 +52,17 @@ def embed_pcm(pcm: np.ndarray, sr_hz: int, fb: np.ndarray) -> np.ndarray:
     """float PCM → L2-normalized log-mel vector (N_MELS float32)."""
     x = _resample_linear(pcm, sr_hz, CANONICAL_SR)
     n_fft = 4096
-    # average the power spectra of successive non-overlapping windows
+    # average the power spectra of successive non-overlapping windows —
+    # frames are FIXED length, so this is the case where a batched 2-D
+    # rfft genuinely applies (one transform per clip, no per-frame loop)
     n_frames = max(1, len(x) // n_fft)
-    acc = np.zeros(1 + n_fft // 2)
-    for i in range(n_frames):
-        w = x[i * n_fft : (i + 1) * n_fft]
-        if len(w) < n_fft:
-            w = np.pad(w, (0, n_fft - len(w)))
-        spec = np.fft.rfft(w * _HANN_4096)
-        acc += spec.real**2 + spec.imag**2
+    if len(x) < n_fft:
+        frames = np.zeros((1, n_fft))
+        frames[0, : len(x)] = x
+    else:
+        frames = x[: n_frames * n_fft].reshape(n_frames, n_fft)
+    spec = np.fft.rfft(frames * _HANN_4096[None, :], axis=1)
+    acc = (spec.real**2 + spec.imag**2).sum(axis=0)
     mel = fb @ (acc / n_frames)
     # energy-relative floor (−40 dB re total): bands below any codec's
     # quantization noise floor (G.711 ≈ −37 dB SNR) clamp identically, so

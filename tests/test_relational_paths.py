@@ -30,3 +30,33 @@ def test_asof_partitioned_matches_broadcast_and_oracle(_ray):
     assert part.reset_index(drop=True).astype("int64").equals(
         oracle.reset_index(drop=True).astype("int64")
     )
+
+
+def test_hll_sketch_accuracy_and_merge(_ray):
+    """HLL distinct estimates per event type within 5% of exact; register
+    merge associativity: one-shot == two-half merge."""
+    import numpy as np
+
+    from data_quality_ray.functions import sketches as sk
+    from data_quality_ray.pipelines import relational_ext as rx
+
+    approx = rx.events_user_hll(SF_DIR).set_index("event_type")["n_users_approx"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).df().set_index("event_type")["n"]
+    for etype, n in exact.items():
+        err = abs(approx[etype] - n) / max(n, 1)
+        assert err < 0.05, f"{etype}: approx {approx[etype]} vs exact {n} ({err:.1%})"
+
+    vals = np.arange(10_000, dtype=np.int64)
+    one = sk.hll_accumulate(sk.hll_empty(), vals)
+    half = sk.hll_merge(
+        sk.hll_accumulate(sk.hll_empty(), vals[:5000]),
+        sk.hll_accumulate(sk.hll_empty(), vals[5000:]),
+    )
+    assert np.array_equal(one, half)
+    assert abs(sk.hll_estimate(one) - 10_000) / 10_000 < 0.05
