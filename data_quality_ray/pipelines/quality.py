@@ -72,7 +72,10 @@ def annotate(ds: "rd.Dataset", *, validate: bool = True) -> "rd.Dataset":
         functools.partial(decode_features, drop_payload=True),
         batch_format="pyarrow",
         batch_size=config.CLIP_BATCH_SIZE,
-        memory=256 * 1024 * 1024,
+        # fusion-break + honest per-task footprint (~25 MB input block +
+        # per-row transients); a larger hint counts against the operator's
+        # memory budget and was MEASURED to throttle decode concurrency
+        memory=64 * 1024 * 1024,
     )
     ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
     ds = ds.map_batches(
