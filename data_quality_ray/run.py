@@ -25,6 +25,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-resume", action="store_true", help="recompute committed partitions")
     p.add_argument("--kept-only", action="store_true", help="write only keep=True rows")
     p.add_argument("--num-cpus", type=int, default=None, help="cpus for a standalone local session")
+    p.add_argument(
+        "--render-spectrograms",
+        type=int,
+        default=0,
+        metavar="N",
+        help="additionally render N sample spectrogram PNGs under OUTPUT/_samples "
+        "(the reference's plot sink, behind a flag)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -51,6 +59,14 @@ def main(argv: list[str] | None = None) -> int:
         with open(tmp, "w") as f:
             json.dump(summary["buckets"], f, sort_keys=True)
         os.replace(tmp, stats_path)
+        if args.render_spectrograms:
+            from data_quality_ray.pipelines.spectrogram import render_spectrogram_pngs
+
+            render_spectrogram_pngs(
+                args.input,
+                os.path.join(args.output, "_samples"),
+                limit=args.render_spectrograms,
+            )
         print(json.dumps(summary))
         return 0
     finally:
