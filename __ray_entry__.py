@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
+        "minhash_dedup_checked": dedup.minhash_dedup_checked,
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "jaccard_cluster_reps": dedup.jaccard_cluster_reps,
@@ -260,5 +261,6 @@ FROM documents ORDER BY doc_id
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "jaccard_cluster_reps": dedup.JACCARD_CLUSTER_REPS_SQL,
         "doc_duplicate_spans": dedup.DOC_DUPLICATE_SPANS_SQL,
+        "minhash_dedup_checked": dedup.MINHASH_DEDUP_CHECKED_SQL,
         "ann_brute_force": embeddings.ANN_BRUTE_FORCE_SQL,
     }

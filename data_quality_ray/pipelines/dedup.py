@@ -939,3 +939,159 @@ SELECT w1.doc_id,
 FROM wins w1 LEFT JOIN per_doc_shared s USING (doc_id)
 ORDER BY w1.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Fully SQL-oracle-checked MinHash+LSH (deterministic md5 shingle hashes)
+# ---------------------------------------------------------------------------
+#
+# The production minhash (`minhash_dedup`) uses the fast siphash shingle mix,
+# which SQL cannot reproduce — so it is verified by planted-pair tests only.
+# This variant swaps in an md5-derived 28-bit shingle hash and a mod-(2^31-1)
+# permutation family whose every step IS reproducible in DuckDB, so the
+# WHOLE stack — shingling, signatures, banding, candidate pairs, estimated-
+# jaccard verification, connected components — is hash-checked end-to-end
+# against the SQL oracle. Because the oracle replicates the algorithm (not
+# an idealized answer), the match is exact regardless of LSH recall.
+
+_MHC_P = (1 << 31) - 1  # Mersenne prime; a*h+b < 2^58 stays int64-exact
+_MHC_NPERM = 24  # 6 bands x 4 rows (small enough for the SQL side)
+_MHC_BANDS = 6
+
+
+def _mhc_constants() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(123)
+    a = (rng.integers(1, 1 << 30, _MHC_NPERM, dtype=np.int64)) | 1
+    b = rng.integers(0, 1 << 30, _MHC_NPERM, dtype=np.int64)
+    return a, b
+
+
+def _gram_strings(text: str) -> list[str]:
+    """Distinct word-3-gram strings, mirroring the oracle's grams CTE
+    (empty doc → [''], <3 tokens → whole normalized text)."""
+    nt = T.normalize_for_fingerprint(text)
+    if nt == "":
+        return [""]
+    tk = nt.split(" ")
+    if len(tk) < 3:
+        return [nt]
+    return list({" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)})
+
+
+def _md5_28(grams: list[str]) -> np.ndarray:
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams],
+        dtype=np.int64,
+    )
+
+
+def minhash_dedup_checked(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, cluster_rep) over the perturbed-doubled corpus via the
+    SQL-reproducible MinHash+LSH stack (see block comment above). Same
+    distributed shape as ``minhash_dedup`` — bands → partitioned pair
+    generation → partitioned signature joins → vectorized verify → CC."""
+    import functools
+
+    a_c, b_c = _mhc_constants()
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        sigs = []
+        for x in t["text"].to_pylist():
+            h = _md5_28(_gram_strings(x))
+            vals = (a_c[:, None] * h[None, :] + b_c[:, None]) % _MHC_P  # (24, n)
+            sigs.append(vals.min(axis=1).tolist())
+        return pa.table(
+            {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.list_(pa.int64()))}
+        )
+
+    ds = _doubled(sf_dir, perturb=True)
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=1024).materialize()
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        flat = t["sig"].combine_chunks()
+        mat = np.asarray(flat.flatten(), dtype=np.uint64).reshape(
+            len(ids), _MHC_BANDS, _MHC_NPERM // _MHC_BANDS
+        )
+        with np.errstate(over="ignore"):
+            h = np.zeros((len(ids), _MHC_BANDS), dtype=np.uint64)
+            for r in range(_MHC_NPERM // _MHC_BANDS):
+                h = h * _MIX1 ^ mat[:, :, r]
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(_MHC_BANDS, dtype=np.int32), len(ids))),
+                "band_hash": pa.array(h.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, _MHC_BANDS), pa.int64()),
+            }
+        )
+
+    cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
+    joined = _attach_both_sigs(cand, sigs, "sig", pa.list_(pa.int64()))
+
+    def verify(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        A = np.asarray(t["sig_a"].combine_chunks().flatten(), dtype=np.int64).reshape(
+            -1, _MHC_NPERM
+        )
+        B = np.asarray(t["sig_b"].combine_chunks().flatten(), dtype=np.int64).reshape(
+            -1, _MHC_NPERM
+        )
+        # integer threshold (matches*2 >= n_perm) — identical to HAVING
+        keep = pa.array((A == B).sum(axis=1) * 2 >= _MHC_NPERM)
+        return t.select(["a", "b"]).filter(keep).cast(schema)
+
+    verified = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    comp = _connected_components(
+        [(int(x), int(y)) for x, y in zip(verified["a"], verified["b"])]
+    )
+    return _labeled_output(sigs, comp)
+
+
+def _mhc_sql() -> str:
+    a_c, b_c = _mhc_constants()
+    perm_rows = ", ".join(f"({j}, {int(a_c[j])}, {int(b_c[j])})" for j in range(_MHC_NPERM))
+    grams_prefix = _JACCARD_GRAMS_SQL.split(",\njpairs")[0]  # tok0/doubled/toks/grams CTEs
+    return f"""
+WITH RECURSIVE {grams_prefix},
+perm(j, pa, pb) AS (VALUES {perm_rows}),
+uw AS (SELECT doc_id, unnest(g) AS w FROM grams),
+wh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT) AS h FROM uw
+),
+sigs AS (
+  SELECT doc_id, p.j AS j, min((p.pa * h + p.pb) % {_MHC_P}) AS sig
+  FROM wh CROSS JOIN perm p GROUP BY doc_id, p.j
+),
+bands AS (
+  SELECT doc_id, j // {_MHC_NPERM // _MHC_BANDS} AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS bkey
+  FROM sigs GROUP BY doc_id, j // {_MHC_NPERM // _MHC_BANDS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a
+  JOIN sigs sb ON sb.doc_id = c.b AND sb.j = sa.j
+  GROUP BY c.a, c.b
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 2 >= {_MHC_NPERM}
+),
+edges2 AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+lab AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM doubled
+  UNION
+  SELECT e.b AS node, l.lbl FROM edges2 e JOIN lab l ON l.node = e.a
+)
+SELECT node AS doc_id, min(lbl) AS cluster_rep FROM lab GROUP BY node ORDER BY doc_id
+"""
+
+
+MINHASH_DEDUP_CHECKED_SQL = _mhc_sql()

@@ -191,3 +191,12 @@ def test_doc_duplicate_spans_planted(_ray):
     assert (out["n_shared"] <= out["n_windows"]).all()
     assert (out["n_shared"] > 0).sum() >= 10  # planted near-dups share spans
     assert (out["n_shared"] == 0).sum() >= 100  # most docs are unique
+
+
+def test_minhash_checked_variant_finds_planted(_ray):
+    """The SQL-reproducible minhash variant clusters like the production
+    one: planted near-dups land with their originals."""
+    out = dedup.minhash_dedup_checked(SF_DIR)
+    assert len(out) == 2 * N_DOCS
+    rate = _same_cluster_rate(out)
+    assert rate >= 0.95, f"only {rate:.2%} of planted near-dups found"
