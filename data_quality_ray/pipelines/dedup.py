@@ -498,18 +498,31 @@ def _verify_minhash_batch(t: pa.Table, n_perm: int, threshold: float) -> pa.Tabl
 
 
 def _simhash64(texts: list[str]) -> np.ndarray:
-    """64-bit simhash over word-unigram hashes (unweighted), vectorized."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = list(set(T.ws_tokens(T.normalize_for_fingerprint(t))))
-        if not toks:
-            out[i] = 0
-            continue
-        hs = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
-        votes = bitmat.sum(axis=0) * 2 - len(hs)  # (+1/-1 votes)
-        out[i] = np.uint64(((votes > 0).astype(np.uint64) << bits).sum())
+    """64-bit simhash over word-unigram hashes (unweighted), vectorized
+    BATCH-WIDE: one hash pass over every document's tokens concatenated,
+    one unpackbits, and per-document bit votes via ``np.add.reduceat`` —
+    no per-document numpy round trips."""
+    tok_lists = [set(T.ws_tokens(T.normalize_for_fingerprint(t))) for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    all_toks = np.asarray(
+        [tok for toks in tok_lists for tok in toks], dtype=object
+    )
+    hs = pd.util.hash_array(all_toks, categorize=False).astype(np.uint64)
+    # (n_tokens, 64) bit matrix; little-endian byte/bit order ⇔ (h >> j) & 1
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+    votes = 2 * sums - lens[nz][:, None]
+    h = (
+        (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1)
+    out[nz] = h
     return out
 
 

@@ -33,3 +33,62 @@ def test_pipeline_tolerates_nulls_and_empties(ray_session):
     assert row.loc["b", "bucket"] == "bad"
     # decodable audio + degenerate transcript: flagged, never crashes
     assert row.loc["d", "quality_score"] in (0.2, 0.5)
+
+
+def test_lineage_partial_empty_block_schema_stable():
+    """An empty block must yield a partial with the EXACT partial schema
+    (string/int64/float64) — pandas dtype inference from an empty groupby
+    used to emit all-double columns that poisoned the block union."""
+    import pyarrow as pa
+
+    from data_quality_ray.pipelines.quality import (
+        _LINEAGE_PARTIAL_SCHEMA,
+        _lineage_partial,
+    )
+
+    empty = _LINEAGE_PARTIAL_SCHEMA  # partial schema is also the input contract
+    cols = ["lang", "split", "keep", "ppl", "quality_score", "bucket", "transcript_scrubbed"]
+    batch = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "split": pa.array([], pa.string()),
+            "keep": pa.array([], pa.bool_()),
+            "ppl": pa.array([], pa.float64()),
+            "quality_score": pa.array([], pa.float64()),
+            "bucket": pa.array([], pa.string()),
+            "transcript_scrubbed": pa.array([], pa.string()),
+        }
+    )
+    out = _lineage_partial(batch)
+    assert out.num_rows == 0
+    assert out.schema == _LINEAGE_PARTIAL_SCHEMA
+    # concatenation with a real partial must not raise
+    full = pa.table(
+        {
+            "lang": ["en"], "split": ["train"], "keep": [True], "ppl": [3.5],
+            "quality_score": [1.0], "bucket": ["good"],
+            "transcript_scrubbed": ["hello world"],
+        }
+    )
+    both = pa.concat_tables([out, _lineage_partial(full)])
+    assert both.num_rows == 1
+
+
+def test_orphan_tmp_dirs_swept_on_retry(ray_session, clips_dir_1k, tmp_path):
+    """A leftover .tmp-{pid}-* dir from a crashed attempt is removed by the
+    next run of that partition (no unbounded accumulation)."""
+    import glob
+    import os
+
+    from data_quality_ray.pipelines.quality import run_checkpointed
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    stale = os.path.join(out, ".tmp-00000-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    summary = run_checkpointed(clips_dir_1k, out, n_partitions=1)
+    assert summary["rows"] == 1000
+    assert not os.path.exists(stale)
+    assert glob.glob(os.path.join(out, ".tmp-*")) == []
