@@ -115,6 +115,8 @@ def main() -> None:
         fn()
         queries[name_] = round(time.perf_counter() - t, 3)
 
+    from data_quality_ray.pipelines import relational_ext
+
     bench("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
     bench("revenue_by_segment", lambda: relational.revenue_by_segment(sf_dir))
     bench("events_hourly", lambda: relational.events_hourly(sf_dir))
@@ -122,6 +124,9 @@ def main() -> None:
     bench("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
     bench("minhash_dedup", lambda: dedup.minhash_dedup(sf_dir))
     bench("ann_brute_force", lambda: embeddings.ann_brute_force(sf_dir))
+    bench("events_in_order_window", lambda: relational_ext.events_in_order_window(sf_dir))
+    bench("q3_shipping_priority", lambda: relational_ext.q3_shipping_priority(sf_dir))
+    bench("doc_duplicate_spans", lambda: dedup.doc_duplicate_spans(sf_dir))
 
     print(
         json.dumps(
