@@ -619,7 +619,9 @@ def _prefix_rows(t: pa.Table, threshold: float) -> pa.Table:
     lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
     vals = np.asarray(arr.flatten(), dtype=np.uint64)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    plen = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+    # clip: t→0 would give |S|+1 (past the row boundary); prefix is at most
+    # the whole set and at least one shingle
+    plen = np.clip(lens - np.ceil(threshold * lens).astype(np.int64) + 1, 1, lens)
     ids = t["doc_id"].to_numpy()
     total = int(plen.sum())
     row_of = np.repeat(np.arange(len(ids)), plen)
@@ -637,10 +639,11 @@ def _prefix_rows(t: pa.Table, threshold: float) -> pa.Table:
 
 
 def _verify_jaccard_batch(t: pa.Table, threshold: float) -> pa.Table:
-    """Exact Jaccard from the two co-located sorted shingle arrays.
-    ``intersect1d(assume_unique)`` per pair (a compiled merge of two sorted
-    uint64 arrays); the division is the same double division the SQL oracle
-    performs, so values are bit-identical."""
+    """Exact Jaccard for the whole batch in ONE vectorized pass: both
+    sides' (pair, shingle) rows are lexsorted together and intersections
+    counted from adjacent duplicates (each side's shingles are unique
+    within a pair, so a duplicate ⇔ present in both). The division is the
+    same double division the SQL oracle performs — values bit-identical."""
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
     if t.num_rows == 0:
         return schema.empty_table()
@@ -648,12 +651,19 @@ def _verify_jaccard_batch(t: pa.Table, threshold: float) -> pa.Table:
     vb, ob = _list_offsets(t["sig_b"])
     a = t["a"].to_numpy()
     b = t["b"].to_numpy()
-    js = np.empty(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        sa = va[oa[i] : oa[i + 1]]
-        sb = vb[ob[i] : ob[i + 1]]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        js[i] = inter / max(1, sa.size + sb.size - inter)
+    n = len(a)
+    la = np.diff(oa)
+    lb = np.diff(ob)
+    pair_idx = np.concatenate(
+        [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+    )
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pair_idx))
+    p, v = pair_idx[order], vals[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[:-1][dup], minlength=n).astype(np.float64)
+    union = np.maximum(la + lb - inter, 1.0)
+    js = inter / union
     keep = js >= threshold
     return pa.table(
         {
@@ -683,6 +693,11 @@ def _exact_jaccard_pairs_ds(sf_dir: str, threshold: float) -> tuple["rd.Dataset"
     return ver, sh
 
 
+def _check_threshold(threshold: float) -> None:
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"jaccard threshold must be in (0, 1], got {threshold}")
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """ALL pairs with exact word-3-gram Jaccard ≥ threshold (exact
     similarity join — SQL-oracle-checkable, unlike an LSH candidate set).
@@ -692,7 +707,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     re-attach both shingle sets → vectorized exact verify. No driver state;
     the known cost of EXACTNESS is that a globally frequent prefix shingle
     fans out to its pair count (the minhash path stays the approximate
-    scale alternative)."""
+    scale alternative). For a non-default threshold, pair the result with
+    ``ngram_jaccard_sql(threshold)`` — the registered oracle constant
+    covers the 0.5 default."""
+    _check_threshold(threshold)
     ver, _ = _exact_jaccard_pairs_ds(sf_dir, threshold)
     out = ver.to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -702,6 +720,7 @@ def jaccard_cluster_reps(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """(doc_id, cluster_rep) from connected components over the EXACT
     jaccard pair graph — end-to-end dedup whose clustering itself is
     SQL-oracle-checked (recursive min-label CTE in DuckDB)."""
+    _check_threshold(threshold)
     ver, sh = _exact_jaccard_pairs_ds(sf_dir, threshold)
     pairs = ver.to_pandas()  # verified pairs only (CC input, ≪ corpus)
     comp = _connected_components(
@@ -714,7 +733,7 @@ def jaccard_cluster_reps(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 # word-3-gram sets, reproducing functions/text.py normalization exactly
 # (lower + trim + whitespace collapse; <3 tokens → the whole normalized
 # text as the single "gram"; empty → a sentinel no real gram can equal).
-_JACCARD_GRAMS_SQL = rf"""
+_GRAMS_PREFIX_SQL = rf"""
 tok0 AS (
   SELECT doc_id, string_split(text, ' ') AS rtk FROM documents
 ),
@@ -740,30 +759,41 @@ grams AS (
                                FOR i IN range(1, len(tk) - 1)])
          END AS g
   FROM toks
-),
+)
+"""
+
+
+def _jaccard_grams_sql(threshold: float) -> str:
+    """Grams prefix + the jpairs CTE for an arbitrary threshold t: the
+    length-ratio predicate min ≥ t·max follows from J ≥ t (inter ≤ min and
+    inter ≥ t·union ≥ t·max) — an EXACT prefilter for every t in (0, 1]."""
+    _check_threshold(threshold)
+    return f"""{_GRAMS_PREFIX_SQL},
 grams2 AS (
   SELECT doc_id, g, len(g) AS gl FROM grams
 ),
 jpairs AS (
-  -- |A∪B| = |A|+|B|-|A∩B| (gram lists are distinct), and J ≥ 0.5 forces
-  -- 2·min(|A|,|B|) ≥ max(|A|,|B|) — the length-ratio join predicate is an
-  -- EXACT prefilter, not an approximation
   SELECT a, b, CAST(i AS DOUBLE) / (gla + glb - i) AS jaccard FROM (
     SELECT ga.doc_id AS a, gb.doc_id AS b, ga.gl AS gla, gb.gl AS glb,
            len(list_intersect(ga.g, gb.g)) AS i
     FROM grams2 ga JOIN grams2 gb
-      ON ga.doc_id < gb.doc_id AND ga.gl * 2 >= gb.gl AND gb.gl * 2 >= ga.gl
-  ) WHERE CAST(i AS DOUBLE) / (gla + glb - i) >= 0.5
+      ON ga.doc_id < gb.doc_id
+     AND ga.gl >= {threshold} * gb.gl AND gb.gl >= {threshold} * ga.gl
+  ) WHERE CAST(i AS DOUBLE) / (gla + glb - i) >= {threshold}
 )
 """
 
-NGRAM_JACCARD_PAIRS_SQL = f"""
-WITH {_JACCARD_GRAMS_SQL}
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_jaccard_grams_sql(threshold)}
 SELECT a, b, jaccard FROM jpairs ORDER BY a, b
 """
 
-JACCARD_CLUSTER_REPS_SQL = f"""
-WITH RECURSIVE {_JACCARD_GRAMS_SQL},
+
+def jaccard_cluster_reps_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH RECURSIVE {_jaccard_grams_sql(threshold)},
 edges2 AS (
   SELECT a, b FROM jpairs UNION ALL SELECT b, a FROM jpairs
 ),
@@ -774,6 +804,10 @@ lab AS (
 )
 SELECT node AS doc_id, min(lbl) AS cluster_rep FROM lab GROUP BY node ORDER BY doc_id
 """
+
+
+NGRAM_JACCARD_PAIRS_SQL = ngram_jaccard_sql(0.5)
+JACCARD_CLUSTER_REPS_SQL = jaccard_cluster_reps_sql(0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -872,7 +906,12 @@ def doc_duplicate_spans(sf_dir: str, k: int = 8) -> pd.DataFrame:
     filter inside hash-partitioned groups (a window's full doc set is
     co-located by pkey = f(whash), so the ≥2-docs decision is exact and
     local) → n_shared via groupby(doc) count. All counting distributed;
-    the driver only assembles the three result-grain aggregates."""
+    the driver only assembles the three result-grain aggregates.
+
+    For a non-default ``k``, pair with ``doc_duplicate_spans_sql(k)`` —
+    the registered oracle constant covers the k=8 default."""
+    if k < 2:
+        raise ValueError(f"window size must be ≥ 2, got {k}")
     docs = _docs(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -926,7 +965,12 @@ def doc_duplicate_spans(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-DOC_DUPLICATE_SPANS_SQL = r"""
+def doc_duplicate_spans_sql(k: int = 8) -> str:
+    """Oracle SQL for an arbitrary window size (the registered constant
+    covers the k=8 default; pass matching k on both sides for others)."""
+    if k < 2:
+        raise ValueError(f"window size must be ≥ 2, got {k}")
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ntext,
@@ -935,9 +979,9 @@ WITH toks AS (
 ),
 wins AS (
   SELECT doc_id,
-         CASE WHEN ntext = '' OR len(tk) < 8 THEN []
-              ELSE list_distinct([array_to_string(tk[i:i+7], ' ')
-                                  FOR i IN range(1, len(tk) - 6)])
+         CASE WHEN ntext = '' OR len(tk) < {k} THEN []
+              ELSE list_distinct([array_to_string(tk[i:i+{k - 1}], ' ')
+                                  FOR i IN range(1, len(tk) - {k - 2})])
          END AS ws
   FROM toks
 ),
@@ -952,6 +996,9 @@ SELECT w1.doc_id,
 FROM wins w1 LEFT JOIN per_doc_shared s USING (doc_id)
 ORDER BY w1.doc_id
 """
+
+
+DOC_DUPLICATE_SPANS_SQL = doc_duplicate_spans_sql(8)
 
 
 # ---------------------------------------------------------------------------
@@ -1005,8 +1052,6 @@ def minhash_dedup_checked(sf_dir: str) -> pd.DataFrame:
     SQL-reproducible MinHash+LSH stack (see block comment above). Same
     distributed shape as ``minhash_dedup`` — bands → partitioned pair
     generation → partitioned signature joins → vectorized verify → CC."""
-    import functools
-
     a_c, b_c = _mhc_constants()
 
     def sig_batch(t: pa.Table) -> pa.Table:
@@ -1022,25 +1067,13 @@ def minhash_dedup_checked(sf_dir: str) -> pd.DataFrame:
     ds = _doubled(sf_dir, perturb=True)
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=1024).materialize()
 
-    def bands(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        flat = t["sig"].combine_chunks()
-        mat = np.asarray(flat.flatten(), dtype=np.uint64).reshape(
-            len(ids), _MHC_BANDS, _MHC_NPERM // _MHC_BANDS
+    # banding reuses the ONE band-hash kernel (same fold as production)
+    cand = _candidate_pairs_ds(
+        sigs.map_batches(
+            lambda t: _band_rows(t, _MHC_BANDS, _MHC_NPERM // _MHC_BANDS),
+            batch_format="pyarrow",
         )
-        with np.errstate(over="ignore"):
-            h = np.zeros((len(ids), _MHC_BANDS), dtype=np.uint64)
-            for r in range(_MHC_NPERM // _MHC_BANDS):
-                h = h * _MIX1 ^ mat[:, :, r]
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(_MHC_BANDS, dtype=np.int32), len(ids))),
-                "band_hash": pa.array(h.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, _MHC_BANDS), pa.int64()),
-            }
-        )
-
-    cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
+    )
     joined = _attach_both_sigs(cand, sigs, "sig", pa.list_(pa.int64()))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -1067,9 +1100,8 @@ def minhash_dedup_checked(sf_dir: str) -> pd.DataFrame:
 def _mhc_sql() -> str:
     a_c, b_c = _mhc_constants()
     perm_rows = ", ".join(f"({j}, {int(a_c[j])}, {int(b_c[j])})" for j in range(_MHC_NPERM))
-    grams_prefix = _JACCARD_GRAMS_SQL.split(",\njpairs")[0]  # tok0/doubled/toks/grams CTEs
     return f"""
-WITH RECURSIVE {grams_prefix},
+WITH RECURSIVE {_GRAMS_PREFIX_SQL},
 perm(j, pa, pb) AS (VALUES {perm_rows}),
 uw AS (SELECT doc_id, unnest(g) AS w FROM grams),
 wh AS (

@@ -503,7 +503,10 @@ def events_asof_orders(sf_dir: str, *, force_partitioned: bool = False) -> pd.Da
     orderkey) and stay hash-identical to the SQL oracle; the partitioned
     path is forced in tests via ``force_partitioned``.
     """
-    n_orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"]).count()
+    import pyarrow.parquet as _pqm
+
+    # row count from the parquet footer — no Ray tasks for the size gate
+    n_orders = _pqm.ParquetFile(_pq(sf_dir, "orders")).metadata.num_rows
     if force_partitioned or n_orders > ASOF_BROADCAST_LIMIT:
         return _events_asof_orders_partitioned(sf_dir)
 
@@ -544,6 +547,19 @@ def events_asof_orders(sf_dir: str, *, force_partitioned: bool = False) -> pd.Da
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _user_bucket_cols(users: np.ndarray, side: int, n_buckets: int) -> dict:
+    """Shared co-partitioning tag for schema-aligned fact×fact unions
+    keyed by user id: (bucket, side, user) columns. Used by the
+    partitioned as-of join here and the range join in relational_ext."""
+    return {
+        "bucket": pa.array(
+            (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        ),
+        "side": pa.array(np.full(len(users), side, dtype=np.int8)),
+        "user": pa.array(users, pa.int64()),
+    }
+
+
 def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     """Co-partitioned as-of join: hash(user) buckets both sides into ONE
     groupby shuffle; each bucket runs a vectorized ``merge_asof`` keyed by
@@ -551,14 +567,9 @@ def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.Data
     the latest date / largest orderkey — identical to the broadcast path)."""
 
     def ev_rows(t: pa.Table) -> pa.Table:
-        users = t["user_id"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(
-                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-                ),
-                "side": pa.array(np.zeros(t.num_rows, np.int8)),
-                "user": pa.array(users, pa.int64()),
+                **_user_bucket_cols(t["user_id"].to_numpy(), 0, n_buckets),
                 "ts_us": pc.cast(t["ts"], pa.int64()),
                 "event_id": t["event_id"],
                 "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
@@ -566,14 +577,9 @@ def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.Data
         )
 
     def ord_rows(t: pa.Table) -> pa.Table:
-        users = t["o_custkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(
-                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-                ),
-                "side": pa.array(np.ones(t.num_rows, np.int8)),
-                "user": pa.array(users, pa.int64()),
+                **_user_bucket_cols(t["o_custkey"].to_numpy(), 1, n_buckets),
                 "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
                 "event_id": pa.array(np.zeros(t.num_rows, np.int64)),
                 "o_orderkey": t["o_orderkey"],

@@ -53,7 +53,7 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
 
 EVENTS_PROPS_EXTRACT_SQL = r"""
 SELECT event_type,
-       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
        count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -280,8 +280,9 @@ def repeat_customers_intersect(sf_dir: str, y1: int = 1996, y2: int = 1997) -> p
     bits (Max aggregates per bit — map-side combinable)."""
     from ray.data.aggregate import Max
 
+    if y1 >= y2:
+        raise ValueError(f"y1 must precede y2 (got {y1}, {y2})")  # read filter below assumes it
     lo1 = pa.scalar(pd.Timestamp(f"{y1}-01-01"), pa.timestamp("us"))
-    lo2 = pa.scalar(pd.Timestamp(f"{y2}-01-01"), pa.timestamp("us"))
     hi2 = pa.scalar(pd.Timestamp(f"{y2 + 1}-01-01"), pa.timestamp("us"))
 
     def flags(t: pa.Table) -> pa.Table:
@@ -331,31 +332,23 @@ def events_in_order_window(sf_dir: str, days: int = 7, n_buckets: int = 32) -> p
     are sorted once and every order's window count is two vectorized
     searchsorteds. Per-task memory O(rows / n_buckets); no broadcast of
     either fact table."""
+    from data_quality_ray.pipelines.relational import _user_bucket_cols
+
     win_us = days * 86_400_000_000
 
     def ev_rows(t: pa.Table) -> pa.Table:
-        users = t["user_id"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(
-                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-                ),
-                "side": pa.array(np.zeros(t.num_rows, np.int8)),
-                "user": pa.array(users, pa.int64()),
+                **_user_bucket_cols(t["user_id"].to_numpy(), 0, n_buckets),
                 "ts_us": pc.cast(t["ts"], pa.int64()),
                 "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
             }
         )
 
     def ord_rows(t: pa.Table) -> pa.Table:
-        users = t["o_custkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(
-                    (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-                ),
-                "side": pa.array(np.ones(t.num_rows, np.int8)),
-                "user": pa.array(users, pa.int64()),
+                **_user_bucket_cols(t["o_custkey"].to_numpy(), 1, n_buckets),
                 "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
                 "o_orderkey": t["o_orderkey"],
             }
