@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": documents.doc_langid,
         "doc_ppl": documents.doc_ppl,
         "doc_top_terms": documents.doc_top_terms,
+        "doc_top_terms_cms": documents.doc_top_terms_cms,
         "doc_length_histogram": documents.doc_length_histogram,
         "train_char_lm_counts": documents.train_char_lm_counts,
         # dedup family

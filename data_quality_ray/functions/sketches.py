@@ -56,3 +56,53 @@ def hll_estimate(regs: np.ndarray) -> int:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return int(round(est))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005, public algorithm)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 13  # 8192 counters per row; ε ≈ e/8192 of the stream mass
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def cms_empty() -> np.ndarray:
+    return np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+
+
+def _cms_rows(keys: np.ndarray) -> np.ndarray:
+    """(depth, n) column indices for string/object keys — one base hash
+    pass, per-row seed remix (deterministic across processes)."""
+    h = pd.util.hash_array(keys, categorize=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = h[None, :] * _CMS_SEEDS[:, None]
+    return ((mixed >> np.uint64(17)) % np.uint64(CMS_WIDTH)).astype(np.int64)
+
+
+def cms_accumulate(cms: np.ndarray, keys: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Fold (key, count) pairs into the sketch (vectorized np.add.at)."""
+    if len(keys) == 0:
+        return cms
+    idx = _cms_rows(keys)
+    for d in range(CMS_DEPTH):
+        np.add.at(cms[d], idx[d], counts)
+    return cms
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b  # counters are linear — merge is elementwise sum
+
+
+def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates (never under the true count) for the given keys."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _cms_rows(keys)
+    est = cms[0, idx[0]]
+    for d in range(1, CMS_DEPTH):
+        est = np.minimum(est, cms[d, idx[d]])
+    return est

@@ -326,3 +326,76 @@ def train_char_lm_counts(sf_dir: str, table_bits: int = 16) -> pd.DataFrame:
         total += np.asarray(row, dtype=np.int64)
     nz = np.nonzero(total)[0]
     return pd.DataFrame({"bucket": nz.astype(np.int64), "count": total[nz]})
+
+
+def doc_top_terms_cms(sf_dir: str, k: int = 25, candidates_per_block: int = 200) -> pd.DataFrame:
+    """Approximate heavy hitters via a Count-Min Sketch — the bounded-state
+    alternative to ``doc_top_terms`` for streams whose distinct-token count
+    dwarfs memory.
+
+    Per block: ONE (depth × width) counter partial (256 KB, linear-merge)
+    plus its local top candidate tokens — block size of state, independent
+    of vocabulary. Two-level reduce (hash-partitioned merge, then ≤8
+    partials on the driver); final counts are sketch point estimates
+    (never under the truth) for the candidate union. Rows-only by design —
+    the exact counterpart ``doc_top_terms`` is the SQL-checked one.
+    """
+    from data_quality_ray.functions import sketches as sk
+
+    out_schema = pa.schema([("cms", pa.binary()), ("cand", pa.list_(pa.string()))])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for x in t["text"].to_pylist():
+            c.update(T.ws_tokens((x or "").lower()))
+        if not c:
+            return out_schema.empty_table()
+        toks = np.asarray(list(c.keys()), dtype=object)
+        ns = np.asarray(list(c.values()), dtype=np.int64)
+        cms = sk.cms_accumulate(sk.cms_empty(), toks, ns)
+        top = toks[np.argsort(-ns, kind="stable")[:candidates_per_block]]
+        return pa.table(
+            {
+                "cms": pa.array([cms.tobytes()], pa.binary()),
+                "cand": pa.array([[str(x) for x in top]], pa.list_(pa.string())),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        pk = [
+            int(_hl.blake2b(b, digest_size=2).hexdigest(), 16) % 8
+            for b in t["cms"].to_pylist()
+        ]
+        return t.append_column("pkey", pa.array(pk, pa.int64()))
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = sk.cms_empty()
+        cand: set[str] = set()
+        for buf, cl in zip(g["cms"], g["cand"]):
+            acc = sk.cms_merge(acc, np.frombuffer(buf, dtype=np.int64).reshape(acc.shape))
+            cand.update(cl)
+        return pd.DataFrame({"cms": [acc.tobytes()], "cand": [sorted(cand)]})
+
+    parts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    acc = sk.cms_empty()
+    cand: set[str] = set()
+    for buf, cl in zip(parts["cms"], parts["cand"]):
+        acc = sk.cms_merge(acc, np.frombuffer(buf, dtype=np.int64).reshape(acc.shape))
+        cand.update(cl)
+    toks = np.asarray(sorted(cand), dtype=object)
+    est = sk.cms_estimate(acc, toks)
+    order = np.lexsort((toks, -est))[:k]
+    return pd.DataFrame(
+        {"token": toks[order].astype(str), "n_est": est[order].astype(np.int64)}
+    ).reset_index(drop=True)

@@ -60,3 +60,19 @@ def test_hll_sketch_accuracy_and_merge(_ray):
     )
     assert np.array_equal(one, half)
     assert abs(sk.hll_estimate(one) - 10_000) / 10_000 < 0.05
+
+
+def test_cms_heavy_hitters_vs_exact(_ray):
+    """CMS top terms: point estimates never undercount, and the sketch
+    recovers most of the exact top-k."""
+    from data_quality_ray.pipelines import documents
+
+    exact = documents.doc_top_terms(SF_DIR, k=25)
+    approx = documents.doc_top_terms_cms(SF_DIR, k=25)
+    ex = dict(zip(exact["token"], exact["n"]))
+    ap = dict(zip(approx["token"], approx["n_est"]))
+    hits = set(ex) & set(ap)
+    assert len(hits) >= 20, f"CMS recovered only {len(hits)}/25 exact top terms"
+    for tok in hits:
+        assert ap[tok] >= ex[tok], f"CMS undercounted {tok!r}"  # structural property
+        assert ap[tok] <= ex[tok] * 1.5 + 50, f"CMS overcount too large for {tok!r}"
