@@ -139,6 +139,90 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int] | None:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (4-bit, public IMA/DVI spec) — decode-side EXTENSION codec:
+# deliberately NOT in CODECS (that tuple seeds the deterministic synthetic
+# clip table, which must stay byte-stable). The predictor recursion is
+# data-dependent, so encode/decode are honest per-sample loops — the one
+# codec here that is not vectorizable by construction; it sits at ingest
+# boundaries, not in the benchmark mix.
+# ---------------------------------------------------------------------------
+
+EXTENDED_CODECS = CODECS + ("adpcm",)
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+     45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+     209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+     796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+     2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+     7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+     20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+
+def adpcm_encode(pcm: np.ndarray) -> bytes:
+    """int16 samples → header (predictor int16 LE, index uint8, n-parity
+    uint8) + packed 4-bit IMA codes (low nibble first)."""
+    pcm = np.asarray(pcm, dtype=np.int32)
+    pred = int(pcm[0]) if len(pcm) else 0
+    index = 0
+    nibbles = bytearray()
+    for s in pcm:
+        step = int(_IMA_STEP_TABLE[index])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        # reconstruct exactly like the decoder
+        delta = (step >> 3) + ((step >> 2) if code & 1 else 0) \
+            + ((step >> 1) if code & 2 else 0) + (step if code & 4 else 0)
+        pred = pred - delta if code & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[code & 7])))
+        nibbles.append(code)
+    first_pred = int(pcm[0]) if len(pcm) else 0
+    head = struct.pack("<hBB", first_pred, 0, len(pcm) & 1)
+    packed = bytearray()
+    for i in range(0, len(nibbles) - 1, 2):
+        packed.append(nibbles[i] | (nibbles[i + 1] << 4))
+    if len(nibbles) & 1:
+        packed.append(nibbles[-1])
+    return head + bytes(packed)
+
+
+def adpcm_decode(buf: bytes) -> np.ndarray:
+    """ADPCM payload → int16 samples (inverse of :func:`adpcm_encode`)."""
+    if len(buf) < 4:
+        raise ValueError("adpcm: truncated header")
+    pred, index, odd = struct.unpack("<hBB", buf[:4])
+    data = np.frombuffer(buf, dtype=np.uint8, offset=4)
+    n = 2 * len(data) - (1 if odd else 0)
+    out = np.empty(n, dtype=np.int16)
+    pred = int(pred)
+    index = int(index)
+    for i in range(n):
+        byte = data[i >> 1]
+        code = (byte >> 4) if i & 1 else (byte & 0x0F)
+        step = int(_IMA_STEP_TABLE[index])
+        delta = (step >> 3) + ((step >> 2) if code & 1 else 0) \
+            + ((step >> 1) if code & 2 else 0) + (step if code & 4 else 0)
+        pred = pred - delta if code & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[code & 7])))
+        out[i] = pred
+    return out
+
+
 def encode(pcm: np.ndarray, codec: str, sr_hz: int) -> bytes:
     """int16 mono samples -> payload bytes for the given codec."""
     if codec == "pcm16":
@@ -149,6 +233,8 @@ def encode(pcm: np.ndarray, codec: str, sr_hz: int) -> bytes:
         return ulaw_encode(pcm).tobytes()
     if codec == "alaw":
         return alaw_encode(pcm).tobytes()
+    if codec == "adpcm":
+        return adpcm_encode(pcm)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -177,6 +263,8 @@ def decode_tolerant(buf: bytes, codec: str, sr_hz: int) -> np.ndarray | None:
             if len(buf) == 0:
                 return None
             pcm = alaw_decode(np.frombuffer(buf, dtype=np.uint8))
+        elif codec == "adpcm":
+            pcm = adpcm_decode(buf)
         else:
             return None
     except Exception:

@@ -93,3 +93,31 @@ def test_decode_arbitrary_bytes_never_raises(buf, codec):
     out = codecs.decode_tolerant(buf, codec, 16000)
     if out is not None:
         assert np.isfinite(out).all()
+
+
+def test_adpcm_roundtrip_snr():
+    """IMA ADPCM (extension codec): decode(encode(x)) tracks x at ≥ 20 dB
+    SNR for band-limited audio, exact length, and tolerant-decode wiring."""
+    import numpy as np
+
+    from data_quality_ray.functions import codecs
+
+    t = np.arange(16000) / 16000.0
+    pcm = (
+        (0.45 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 880 * t))
+        * 32767
+    ).astype(np.int16)
+    buf = codecs.encode(pcm, "adpcm", 16000)
+    assert len(buf) < len(pcm) * 2 * 0.6  # ~4:1 compression vs pcm16
+    dec = codecs.decode_tolerant(buf, "adpcm", 16000)
+    assert dec is not None and len(dec) == len(pcm)
+    snr = codecs.snr_db(pcm / 32768.0, dec)
+    assert snr >= 20.0, f"adpcm SNR {snr:.1f} dB"
+    # odd-length payload path
+    buf2 = codecs.encode(pcm[:999], "adpcm", 16000)
+    dec2 = codecs.decode_tolerant(buf2, "adpcm", 16000)
+    assert dec2 is not None and len(dec2) == 999
+    # malformed payloads must be tolerated, not raise
+    assert codecs.decode_tolerant(b"", "adpcm", 16000) is None
+    assert codecs.decode_tolerant(b"\x01\x02", "adpcm", 16000) is None
+    assert "adpcm" in codecs.EXTENDED_CODECS and "adpcm" not in codecs.CODECS
