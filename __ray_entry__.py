@@ -169,7 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": relational_ext.events_user_gaps,
         "revenue_rollup": relational_ext.revenue_rollup,
         "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
-        "events_in_order_window": relational_ext.events_in_order_window,
+        "orders_prior_window": relational_ext.orders_prior_window,
         "q3_shipping_priority": relational_ext.q3_shipping_priority,
         "events_trailing_hour": relational_ext.events_trailing_hour,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
@@ -242,7 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_gaps": relational_ext.EVENTS_USER_GAPS_SQL,
         "revenue_rollup": relational_ext.REVENUE_ROLLUP_SQL,
         "repeat_customers_intersect": relational_ext.REPEAT_CUSTOMERS_INTERSECT_SQL,
-        "events_in_order_window": relational_ext.EVENTS_IN_ORDER_WINDOW_SQL,
+        "orders_prior_window": relational_ext.ORDERS_PRIOR_WINDOW_SQL,
         "q3_shipping_priority": relational_ext.Q3_SHIPPING_PRIORITY_SQL,
         "events_trailing_hour": relational_ext.EVENTS_TRAILING_HOUR_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,

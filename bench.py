@@ -124,7 +124,7 @@ def main() -> None:
     bench("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
     bench("minhash_dedup", lambda: dedup.minhash_dedup(sf_dir))
     bench("ann_brute_force", lambda: embeddings.ann_brute_force(sf_dir))
-    bench("events_in_order_window", lambda: relational_ext.events_in_order_window(sf_dir))
+    bench("orders_prior_window", lambda: relational_ext.orders_prior_window(sf_dir))
     bench("q3_shipping_priority", lambda: relational_ext.q3_shipping_priority(sf_dir))
     bench("doc_duplicate_spans", lambda: dedup.doc_duplicate_spans(sf_dir))
 

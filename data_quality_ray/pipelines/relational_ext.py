@@ -319,91 +319,78 @@ ORDER BY o_custkey
 
 
 # ---------------------------------------------------------------------------
-# Range join: events within 7 days after each order
+# Range join: same-customer orders in the preceding window
 # ---------------------------------------------------------------------------
 
 
-def events_in_order_window(sf_dir: str, days: int = 7, n_buckets: int = 32) -> pd.DataFrame:
-    """For each order: how many of that user's events fall in
-    [o_orderdate, o_orderdate + days) — a per-key RANGE JOIN.
+def orders_prior_window(sf_dir: str, days: int = 30, n_buckets: int = 32) -> pd.DataFrame:
+    """For each order: how many orders the SAME customer placed in the
+    preceding ``days`` days ([date − days, date), strictly before) — a
+    per-key RANGE self-join with genuinely non-trivial counts on this data
+    (the earlier events×orders variant was degenerate: the two tables'
+    time ranges never overlap).
 
-    Shape: co-partition both sides by hash(user) (one schema-aligned union
-    + groupby shuffle); inside each bucket, per user the event timestamps
-    are sorted once and every order's window count is two vectorized
-    searchsorteds. Per-task memory O(rows / n_buckets); no broadcast of
-    either fact table."""
+    Shape: co-partition by hash(custkey) (one groupby shuffle); inside
+    each bucket ALL windows resolve with two searchsorteds over ONE
+    composite (customer-rank · span + time) key — no per-customer Python
+    loop. Per-task memory O(rows / n_buckets); no broadcast."""
     from data_quality_ray.pipelines.relational import _user_bucket_cols
 
     win_us = days * 86_400_000_000
 
-    def ev_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                **_user_bucket_cols(t["user_id"].to_numpy(), 0, n_buckets),
-                "ts_us": pc.cast(t["ts"], pa.int64()),
-                "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
-            }
-        )
-
     def ord_rows(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                **_user_bucket_cols(t["o_custkey"].to_numpy(), 1, n_buckets),
+                **_user_bucket_cols(t["o_custkey"].to_numpy(), 0, n_buckets),
                 "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
                 "o_orderkey": t["o_orderkey"],
             }
         )
 
-    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"]).map_batches(
-        ev_rows, batch_format="pyarrow"
-    )
     od = rd.read_parquet(
         _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
     ).map_batches(ord_rows, batch_format="pyarrow")
 
     def count_window(g: pd.DataFrame) -> pd.DataFrame:
-        od_g = g[g["side"] == 1]
-        if od_g.empty:
+        if g.empty:
             return pd.DataFrame(
                 {
                     "o_orderkey": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
+                    "n_prior": pd.Series([], dtype="int64"),
                 }
             )
-        ev_g = g[g["side"] == 0]
-        out_k: list[np.ndarray] = []
-        out_n: list[np.ndarray] = []
-        ev_by_user = {u: np.sort(sub["ts_us"].to_numpy()) for u, sub in ev_g.groupby("user")}
-        for u, sub in od_g.groupby("user"):
-            starts = sub["ts_us"].to_numpy()
-            ts = ev_by_user.get(u)
-            if ts is None:
-                n = np.zeros(len(starts), dtype=np.int64)
-            else:
-                n = np.searchsorted(ts, starts + win_us, side="left") - np.searchsorted(
-                    ts, starts, side="left"
-                )
-            out_k.append(sub["o_orderkey"].to_numpy())
-            out_n.append(n.astype(np.int64))
+        u = g["user"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        t0 = ts.min()
+        uniq = np.unique(u)
+        span = int(ts.max() - t0) + 2
+        rank = np.searchsorted(uniq, u)
+        key = rank * span + (ts - t0)
+        skey = np.sort(key)
+        # window [t-days, t): side='left' at t excludes the order itself
+        # and same-timestamp peers, matching the strict < in the oracle
+        lo = np.clip(ts - t0 - win_us, 0, None)
+        n = np.searchsorted(skey, rank * span + (ts - t0), side="left") - np.searchsorted(
+            skey, rank * span + lo, side="left"
+        )
         return pd.DataFrame(
-            {"o_orderkey": np.concatenate(out_k), "n_events": np.concatenate(out_n)}
+            {"o_orderkey": g["o_orderkey"].to_numpy(), "n_prior": n.astype(np.int64)}
         )
 
     out = (
-        ev.union(od)
-        .groupby("bucket")
+        od.groupby("bucket")
         .map_groups(count_window, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
-EVENTS_IN_ORDER_WINDOW_SQL = """
+ORDERS_PRIOR_WINDOW_SQL = """
 SELECT o.o_orderkey,
-       (SELECT count(*) FROM events e
-        WHERE e.user_id = o.o_custkey
-          AND e.ts >= o.o_orderdate
-          AND e.ts < o.o_orderdate + INTERVAL 7 DAY) AS n_events
+       (SELECT count(*) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+          AND o2.o_orderdate >= o.o_orderdate - INTERVAL 30 DAY
+          AND o2.o_orderdate < o.o_orderdate) AS n_prior
 FROM orders o
 ORDER BY o.o_orderkey
 """
