@@ -105,21 +105,38 @@ FROM events GROUP BY 1 ORDER BY week_day
 # ---------------------------------------------------------------------------
 
 
-def events_value_median(sf_dir: str) -> pd.DataFrame:
-    """Exact per-type median of value (1e-6 fixed point).
+MEDIAN_INGROUP_LIMIT = 5_000_000  # events rows; above this, histogram refine
 
-    ``groupby(event_type).map_groups`` with an in-group ``np.partition``
-    selection — the partitioning assumption (one type's rows fit a worker)
-    is the same one ``orders_running_total`` documents; the bounded-domain
-    scale path is a two-pass distributed histogram refine on value_e6,
-    which stays exact because the domain is integer."""
 
-    def to_e6(t: pa.Table) -> pa.Table:
-        e6 = pc.cast(
-            pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
-            pa.int64(),
-        )
-        return pa.table({"event_type": t["event_type"], "value_e6": e6})
+def _median_from_sorted_pair(v1: float, v2: float, odd: bool) -> float:
+    return v1 if odd else (v1 + v2) / 2.0
+
+
+def _events_to_e6(t: pa.Table) -> pa.Table:
+    e6 = pc.cast(
+        pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
+        pa.int64(),
+    )
+    return pa.table({"event_type": t["event_type"], "value_e6": e6})
+
+
+def events_value_median(sf_dir: str, *, force_distributed: bool = False) -> pd.DataFrame:
+    """Exact per-type median of value (1e-6 fixed point), behind a SIZE
+    GATE like the as-of join:
+
+    - small input: ``groupby(event_type).map_groups`` + in-group
+      ``np.partition`` selection (one type's rows fit a worker);
+    - large input (or ``force_distributed``): histogram refine — per-block
+      8192-bin integer histograms combine map-side (64 KB per type per
+      block), the driver locates the two median bins from cumulative
+      counts, and a second pruned pass fetches only those bins' values for
+      the exact order statistics. EXACT at any size because the value_e6
+      domain is integer; both paths produce identical doubles."""
+    import pyarrow.parquet as _pqm
+
+    n_rows = _pqm.ParquetFile(_pq(sf_dir, "events")).metadata.num_rows
+    if force_distributed or n_rows > MEDIAN_INGROUP_LIMIT:
+        return _events_value_median_histogram(sf_dir)
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
         v = g["value_e6"].to_numpy()
@@ -129,19 +146,121 @@ def events_value_median(sf_dir: str) -> pd.DataFrame:
         else:
             lo = np.partition(v, n // 2 - 1)[n // 2 - 1]
             hi = np.partition(v, n // 2)[n // 2]
-            m = (float(lo) + float(hi)) / 2.0
+            m = _median_from_sorted_pair(float(lo), float(hi), odd=False)
         return pd.DataFrame(
             {"event_type": [g["event_type"].iloc[0]], "median_value": [m / 1_000_000.0]}
         )
 
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
-        .map_batches(to_e6, batch_format="pyarrow")
+        .map_batches(_events_to_e6, batch_format="pyarrow")
         .groupby("event_type")
         .map_groups(med, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+_MEDIAN_BINS = 8192
+
+
+def _events_value_median_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact median: bounded-state histogram + pruned refine
+    (never holds a type's full value set anywhere)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    src = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_type", "value"]
+    ).map_batches(_events_to_e6, batch_format="pyarrow")
+
+    # pass 1: per-type integer domain + count
+    dom = (
+        src.groupby("event_type")
+        .aggregate(
+            Min("value_e6", alias_name="lo"),
+            Max("value_e6", alias_name="hi"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    types = sorted(dom.index)
+    lo = {t: int(dom.loc[t, "lo"]) for t in types}
+    width = {t: int(dom.loc[t, "hi"]) - lo[t] + 1 for t in types}
+    ref = ray.put((lo, width))
+
+    # pass 2: per-block per-type histograms (64 KB partials, linear merge)
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        lo_, width_ = ray.get(ref)
+        rows = []
+        for etype, g in b.groupby("event_type"):
+            v = g["value_e6"].to_numpy()
+            bins = (v - lo_[etype]) * _MEDIAN_BINS // width_[etype]
+            h = np.bincount(bins, minlength=_MEDIAN_BINS).astype(np.int64)
+            rows.append({"event_type": etype, "hist": h.tobytes()})
+        return pd.DataFrame(rows, columns=["event_type", "hist"])
+
+    def hist_merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(_MEDIAN_BINS, dtype=np.int64)
+        for buf in g["hist"]:
+            acc += np.frombuffer(buf, dtype=np.int64)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]], "hist": [acc.tobytes()]})
+
+    hists = (
+        src.map_batches(hist_partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(hist_merge, batch_format="pandas")
+        .to_pandas()
+        .set_index("event_type")
+    )
+
+    # locate the bins holding ranks (n-1)//2 and n//2 (0-based)
+    need_bins: dict[str, set[int]] = {}
+    rank_info: dict[str, tuple[int, int, np.ndarray]] = {}
+    for t in types:
+        h = np.frombuffer(hists.loc[t, "hist"], dtype=np.int64)
+        cum = np.cumsum(h)
+        n = int(dom.loc[t, "n"])
+        k1, k2 = (n - 1) // 2, n // 2
+        b1 = int(np.searchsorted(cum, k1 + 1))
+        b2 = int(np.searchsorted(cum, k2 + 1))
+        need_bins[t] = {b1, b2}
+        rank_info[t] = (k1, k2, cum)
+
+    # pass 3: pruned fetch of ONLY the median bins' values (tiny)
+    bref = ray.put((lo, width, need_bins))
+
+    def in_median_bins(t: pa.Table) -> pa.Table:
+        lo_, width_, need_ = ray.get(bref)
+        et = pd.Series(t["event_type"].to_pylist())
+        v = t["value_e6"].to_numpy()
+        b = (v - et.map(lo_).to_numpy()) * _MEDIAN_BINS // et.map(width_).to_numpy()
+        nb1 = et.map({k: min(s) for k, s in need_.items()}).to_numpy()
+        nb2 = et.map({k: max(s) for k, s in need_.items()}).to_numpy()
+        return t.filter(pa.array((b == nb1) | (b == nb2)))
+
+    cand = src.map_batches(in_median_bins, batch_format="pyarrow").to_pandas()
+
+    rows = []
+    for t in types:
+        k1, k2, cum = rank_info[t]
+        h = np.frombuffer(hists.loc[t, "hist"], dtype=np.int64)
+        vals = np.sort(cand[cand["event_type"] == t]["value_e6"].to_numpy())
+
+        def kth(k: int) -> int:
+            b = int(np.searchsorted(cum, k + 1))
+            before = int(cum[b - 1]) if b else 0
+            # vals holds ONLY the needed bins' values, in bin order; offset
+            # of bin b inside vals = count of needed-bin values below b
+            off = sum(
+                int(h[x]) for x in sorted(need_bins[t]) if x < b
+            )
+            return int(vals[off + (k - before)])
+
+        v1, v2 = kth(k1), kth(k2)
+        m = _median_from_sorted_pair(float(v1), float(v2), odd=(k1 == k2))
+        rows.append({"event_type": t, "median_value": m / 1_000_000.0})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
 EVENTS_VALUE_MEDIAN_SQL = """

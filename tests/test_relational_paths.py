@@ -76,3 +76,27 @@ def test_cms_heavy_hitters_vs_exact(_ray):
     for tok in hits:
         assert ap[tok] >= ex[tok], f"CMS undercounted {tok!r}"  # structural property
         assert ap[tok] <= ex[tok] * 1.5 + 50, f"CMS overcount too large for {tok!r}"
+
+
+def test_median_distributed_path_matches_ingroup_and_oracle(_ray):
+    """The histogram-refine exact median (forced) must equal the in-group
+    selection path bit-for-bit AND the SQL oracle."""
+    import numpy as np
+
+    from data_quality_ray.pipelines import relational_ext as rx
+
+    a = rx.events_value_median(SF_DIR)
+    b = rx.events_value_median(SF_DIR, force_distributed=True)
+    assert np.array_equal(
+        a["median_value"].to_numpy().view("int64"),
+        b["median_value"].to_numpy().view("int64"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp = con.execute(rx.EVENTS_VALUE_MEDIAN_SQL).df()
+    assert np.array_equal(
+        b["median_value"].to_numpy().view("int64"),
+        exp["median_value"].to_numpy().view("int64"),
+    )
