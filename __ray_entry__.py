@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
         # documents / text analysis
+        "document_pipeline": documents.document_pipeline,
         "doc_token_stats": documents.doc_token_stats,
         "doc_fingerprint": documents.doc_fingerprint,
         "doc_scrub": documents.doc_scrub,

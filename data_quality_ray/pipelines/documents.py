@@ -399,3 +399,112 @@ def doc_top_terms_cms(sf_dir: str, k: int = 25, candidates_per_block: int = 200)
     return pd.DataFrame(
         {"token": toks[order].astype(str), "n_est": est[order].astype(np.int64)}
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Composed text-corpus flagship: the clip pipeline's shape over documents
+# ---------------------------------------------------------------------------
+
+
+def annotate_documents(ds: "rd.Dataset") -> "rd.Dataset":
+    """Document-corpus annotation DAG — the text twin of the clip flagship
+    (``pipelines.quality.annotate``), sharing its kernels end-to-end:
+
+        scrub (PII/toxicity rewrite) → langid actor pool → perplexity +
+        heuristic rules (symbol density, length, repetition) →
+        decision (same agreement kernel / buckets) → hash split
+
+    Emits the same lineage-contract columns as the clip DAG (lang, split,
+    keep, ppl, quality_score, bucket, transcript_scrubbed) keyed by
+    doc_id, so the checkpointed runner applies unchanged.
+    """
+    from data_quality_ray.functions.hashing import split_of
+    from data_quality_ray.stages.decision import decision_batch
+    from data_quality_ray.stages.langid import LangIdStage
+    from data_quality_ray.stages.scrub import scrub_batch
+
+    pool = config.actor_pool_bounds()
+
+    def prep(t: pa.Table) -> pa.Table:
+        # text → transcript: the clip kernels' input contract
+        return pa.table({"doc_id": t["doc_id"], "transcript": t["text"]})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        LangIdStage,
+        fn_constructor_kwargs={"column": "transcript_scrubbed"},
+        batch_format="pyarrow",
+        concurrency=pool,
+    )
+
+    def ppl_rules(t: pa.Table) -> pa.Table:
+        texts = t["transcript_scrubbed"].to_pylist()
+        ppl = np.asarray(models.ppl_scores(t["transcript_scrubbed"]), dtype=np.float64)
+        sym = T.symbol_counts(texts)
+        n_chars = np.array([len(x) for x in texts], dtype=np.int64)
+        flags: list[list[str]] = []
+        for i, x in enumerate(texts):
+            f = []
+            if n_chars[i] == 0 or sym[i] > config.SYM_MAX * n_chars[i]:
+                f.append("sym")
+            if n_chars[i] < 64:
+                f.append("len")
+            toks = T.ws_tokens(x.lower())
+            if toks and 1.0 - len(set(toks)) / len(toks) > config.REP_MAX:
+                f.append("rep")
+            flags.append(f)
+        return (
+            t.append_column("ppl", pa.array(ppl, pa.float64()))
+            .append_column("rule_flags", pa.array(flags, pa.list_(pa.string())))
+            .append_column("decode_ok", pa.array(np.ones(t.num_rows, dtype=bool)))
+        )
+
+    ds = ds.map_batches(ppl_rules, batch_format="pyarrow")
+    ds = ds.map_batches(decision_batch, batch_format="pyarrow")
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return t.append_column(
+            "split", pa.array([split_of(str(i)) for i in ids], pa.string())
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+DOC_OUTPUT_COLUMNS = [
+    "doc_id", "transcript_scrubbed", "had_pii", "had_tox", "lang",
+    "lang_conf", "ppl", "quality_score", "keep", "bucket", "split",
+]
+
+
+def run_document_pipeline(
+    input_dir: str, out_dir: str, *, n_partitions: int = 4, resume: bool = True
+) -> dict:
+    """Checkpointed, resumable document-corpus quality pipeline — the
+    text-table counterpart of ``quality.run_checkpointed`` (same atomic
+    per-partition commit + lineage engine, parameterized by the document
+    DAG)."""
+    from data_quality_ray.pipelines.quality import run_checkpointed
+
+    return run_checkpointed(
+        input_dir,
+        out_dir,
+        n_partitions=n_partitions,
+        resume=resume,
+        annotate_fn=annotate_documents,
+        output_columns=DOC_OUTPUT_COLUMNS,
+        id_column="doc_id",
+    )
+
+
+def document_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Query-shaped entry: full document annotation (rows-only — langid
+    and perplexity are model stages; the SQL-reachable pieces are
+    separately green as doc_scrub / doc_quality_flags / doc_split)."""
+    out = (
+        annotate_documents(_docs(sf_dir, ["doc_id", "text"]))
+        .select_columns(["doc_id", "lang", "split", "keep", "bucket", "quality_score"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -175,8 +175,17 @@ def run_checkpointed(
     n_partitions: int = 4,
     resume: bool = True,
     kept_only: bool = False,
+    annotate_fn=None,
+    output_columns: list[str] | None = None,
+    id_column: str = "clip_id",
 ) -> dict:
     """Quality pipeline over a directory of clip parquet files, resumable.
+
+    The runner is annotation-agnostic: ``annotate_fn`` (default: the clip
+    DAG) must emit the lineage contract columns (lang, split, keep, ppl,
+    quality_score, bucket, transcript_scrubbed) plus ``id_column``;
+    ``pipelines.documents.run_document_pipeline`` reuses this engine for
+    the text-corpus flagship.
 
     Each partition (a contiguous slice of input files) streams through the
     full DAG and commits atomically: data files + a lineage JSON with row /
@@ -197,9 +206,10 @@ def run_checkpointed(
         ckpt.pending(plan, out_dir)  # side effect: prune stale old-plan partitions
         todo = plan
 
+    ann = annotate_fn if annotate_fn is not None else annotate
     for pid, part_files in sorted(todo.items()):
-        ds = annotate(read_clips(part_files))
-        out_cols = [f.name for f in schema.OUTPUT_SCHEMA]
+        ds = ann(read_clips(part_files))
+        out_cols = output_columns or [f.name for f in schema.OUTPUT_SCHEMA]
         ds = ds.select_columns(out_cols)
         if kept_only:
             # annotate-then-select (§2.3 note): lineage stats below still
@@ -236,8 +246,8 @@ def run_checkpointed(
                 # idempotent, matching the lineage-record counts.
                 import hashlib as _hl
 
-                first = b["clip_id"][0].as_py()
-                last = b["clip_id"][b.num_rows - 1].as_py()
+                first = b[id_column][0].as_py()
+                last = b[id_column][b.num_rows - 1].as_py()
                 tag = _hl.blake2b(
                     f"{first}\x1f{last}\x1f{b.num_rows}".encode(), digest_size=12
                 ).hexdigest()

@@ -197,3 +197,38 @@ def test_block_write_is_idempotent(ray_session, clips_dir_1k, tmp_path_factory):
     assert files1 == files2
     t = _read_out(out).to_pandas()
     assert len(t) == 1000 and t["clip_id"].is_unique
+
+
+def test_document_pipeline_checkpointed_resume(ray_session, tmp_path):
+    """The text-corpus flagship runs through the SAME checkpointed engine:
+    partitioned atomic commits, lineage, and no-op resume."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.pipelines.documents import run_document_pipeline
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    n = src.num_rows
+    for i, sl in enumerate([src.slice(0, n // 3), src.slice(n // 3, n // 3), src.slice(2 * (n // 3))]):
+        pq.write_table(sl, os.path.join(in_dir, f"docs-{i}.parquet"))
+
+    out_dir = str(tmp_path / "docs_out")
+    summary = run_document_pipeline(in_dir, out_dir, n_partitions=3)
+    assert summary["partitions"] == 3
+    assert summary["rows"] == n
+    assert 0 < summary["kept"] < n
+    files = glob.glob(os.path.join(out_dir, "part=*", "*.parquet"))
+    got = pq.read_table(files)
+    assert got.num_rows == n
+    assert set(got["doc_id"].to_pylist()) == set(src["doc_id"].to_pylist())
+    assert set(got.schema.names) >= {"doc_id", "lang", "split", "keep", "bucket", "transcript_scrubbed"}
+
+    # resume: a second run recomputes nothing and changes nothing
+    before = sorted(os.path.getmtime(f) for f in files)
+    summary2 = run_document_pipeline(in_dir, out_dir, n_partitions=3)
+    assert summary2 == summary
+    assert sorted(os.path.getmtime(f) for f in glob.glob(os.path.join(out_dir, "part=*", "*.parquet"))) == before
