@@ -205,6 +205,8 @@ def adpcm_decode(buf: bytes) -> np.ndarray:
     if len(buf) < 4:
         raise ValueError("adpcm: truncated header")
     pred, index, odd = struct.unpack("<hBB", buf[:4])
+    if index > 88 or odd > 1:
+        raise ValueError(f"adpcm: corrupt header (index={index}, parity={odd})")
     data = np.frombuffer(buf, dtype=np.uint8, offset=4)
     n = 2 * len(data) - (1 if odd else 0)
     out = np.empty(n, dtype=np.int16)

@@ -418,10 +418,10 @@ def annotate_documents(ds: "rd.Dataset") -> "rd.Dataset":
     keep, ppl, quality_score, bucket, transcript_scrubbed) keyed by
     doc_id, so the checkpointed runner applies unchanged.
     """
-    from data_quality_ray.functions.hashing import split_of
     from data_quality_ray.stages.decision import decision_batch
     from data_quality_ray.stages.langid import LangIdStage
     from data_quality_ray.stages.scrub import scrub_batch
+    from data_quality_ray.stages.split import split_batch
 
     pool = config.actor_pool_bounds()
 
@@ -439,20 +439,27 @@ def annotate_documents(ds: "rd.Dataset") -> "rd.Dataset":
     )
 
     def ppl_rules(t: pa.Table) -> pa.Table:
+        # SAME rule kernels as stages/rules.py (repetition_ratio handles
+        # short texts identically to the clip DAG); only the length rule
+        # differs by construction — documents have no duration, so "len"
+        # is a plain minimum character count
         texts = t["transcript_scrubbed"].to_pylist()
         ppl = np.asarray(models.ppl_scores(t["transcript_scrubbed"]), dtype=np.float64)
-        sym = T.symbol_counts(texts)
-        n_chars = np.array([len(x) for x in texts], dtype=np.int64)
+        rep = T.repetition_ratio(texts)
+        sym = T.symbol_density(texts)
+        n_chars = T.char_lengths(texts)
+        flag_rep = rep > config.REP_MAX
+        flag_sym = sym > config.SYM_MAX
+        flag_len = n_chars < 64
         flags: list[list[str]] = []
-        for i, x in enumerate(texts):
+        for i in range(t.num_rows):
             f = []
-            if n_chars[i] == 0 or sym[i] > config.SYM_MAX * n_chars[i]:
-                f.append("sym")
-            if n_chars[i] < 64:
-                f.append("len")
-            toks = T.ws_tokens(x.lower())
-            if toks and 1.0 - len(set(toks)) / len(toks) > config.REP_MAX:
+            if flag_rep[i]:
                 f.append("rep")
+            if flag_sym[i]:
+                f.append("sym")
+            if flag_len[i]:
+                f.append("len")
             flags.append(f)
         return (
             t.append_column("ppl", pa.array(ppl, pa.float64()))
@@ -462,14 +469,9 @@ def annotate_documents(ds: "rd.Dataset") -> "rd.Dataset":
 
     ds = ds.map_batches(ppl_rules, batch_format="pyarrow")
     ds = ds.map_batches(decision_batch, batch_format="pyarrow")
-
-    def split(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        return t.append_column(
-            "split", pa.array([split_of(str(i)) for i in ids], pa.string())
-        )
-
-    return ds.map_batches(split, batch_format="pyarrow")
+    return ds.map_batches(
+        split_batch, fn_kwargs={"key": "doc_id"}, batch_format="pyarrow"
+    )
 
 
 DOC_OUTPUT_COLUMNS = [

@@ -547,17 +547,20 @@ def events_asof_orders(sf_dir: str, *, force_partitioned: bool = False) -> pd.Da
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def _user_bucket_cols(users: np.ndarray, side: int, n_buckets: int) -> dict:
-    """Shared co-partitioning tag for schema-aligned fact×fact unions
-    keyed by user id: (bucket, side, user) columns. Used by the
-    partitioned as-of join here and the range join in relational_ext."""
-    return {
+def _user_bucket_cols(users: np.ndarray, side: int | None, n_buckets: int) -> dict:
+    """Shared co-partitioning tag for fact joins keyed by user id:
+    (bucket[, side], user) columns. ``side=None`` omits the tag for
+    single-table (self-join) uses. Used by the partitioned as-of join here
+    and the range join in relational_ext."""
+    out = {
         "bucket": pa.array(
             (users.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
         ),
-        "side": pa.array(np.full(len(users), side, dtype=np.int8)),
-        "user": pa.array(users, pa.int64()),
     }
+    if side is not None:
+        out["side"] = pa.array(np.full(len(users), side, dtype=np.int8))
+    out["user"] = pa.array(users, pa.int64())
+    return out
 
 
 def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:

@@ -451,8 +451,11 @@ def orders_prior_window(sf_dir: str, days: int = 30, n_buckets: int = 32) -> pd.
 
     Shape: co-partition by hash(custkey) (one groupby shuffle); inside
     each bucket ALL windows resolve with two searchsorteds over ONE
-    composite (customer-rank · span + time) key — no per-customer Python
-    loop. Per-task memory O(rows / n_buckets); no broadcast."""
+    composite (customer-rank · K + time-RANK) key — no per-customer Python
+    loop. Time is mapped to its dense rank first, so the key magnitude is
+    bounded by (rows per bucket)² — int64-safe to ~3·10⁹ rows per bucket
+    (raw microsecond offsets would overflow the product at scale).
+    Per-task memory O(rows / n_buckets); no broadcast."""
     from data_quality_ray.pipelines.relational import _user_bucket_cols
 
     win_us = days * 86_400_000_000
@@ -460,7 +463,7 @@ def orders_prior_window(sf_dir: str, days: int = 30, n_buckets: int = 32) -> pd.
     def ord_rows(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                **_user_bucket_cols(t["o_custkey"].to_numpy(), 0, n_buckets),
+                **_user_bucket_cols(t["o_custkey"].to_numpy(), None, n_buckets),
                 "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
                 "o_orderkey": t["o_orderkey"],
             }
@@ -480,17 +483,18 @@ def orders_prior_window(sf_dir: str, days: int = 30, n_buckets: int = 32) -> pd.
             )
         u = g["user"].to_numpy()
         ts = g["ts_us"].to_numpy()
-        t0 = ts.min()
-        uniq = np.unique(u)
-        span = int(ts.max() - t0) + 2
-        rank = np.searchsorted(uniq, u)
-        key = rank * span + (ts - t0)
+        uniq_u = np.unique(u)
+        uniq_t = np.unique(ts)
+        K = len(uniq_t) + 1
+        rank_u = np.searchsorted(uniq_u, u)
+        key = rank_u * K + np.searchsorted(uniq_t, ts)
         skey = np.sort(key)
-        # window [t-days, t): side='left' at t excludes the order itself
-        # and same-timestamp peers, matching the strict < in the oracle
-        lo = np.clip(ts - t0 - win_us, 0, None)
-        n = np.searchsorted(skey, rank * span + (ts - t0), side="left") - np.searchsorted(
-            skey, rank * span + lo, side="left"
+        # window [t-days, t): strict upper bound excludes the order itself
+        # and same-timestamp peers, matching the < in the oracle
+        r_hi = np.searchsorted(uniq_t, ts, side="left")
+        r_lo = np.searchsorted(uniq_t, ts - win_us, side="left")
+        n = np.searchsorted(skey, rank_u * K + r_hi, side="left") - np.searchsorted(
+            skey, rank_u * K + r_lo, side="left"
         )
         return pd.DataFrame(
             {"o_orderkey": g["o_orderkey"].to_numpy(), "n_prior": n.astype(np.int64)}
@@ -504,15 +508,21 @@ def orders_prior_window(sf_dir: str, days: int = 30, n_buckets: int = 32) -> pd.
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
-ORDERS_PRIOR_WINDOW_SQL = """
+def orders_prior_window_sql(days: int = 30) -> str:
+    """Oracle generated from the same window parameter as the pipeline
+    (the registered constant covers the 30-day default)."""
+    return f"""
 SELECT o.o_orderkey,
        (SELECT count(*) FROM orders o2
         WHERE o2.o_custkey = o.o_custkey
-          AND o2.o_orderdate >= o.o_orderdate - INTERVAL 30 DAY
+          AND o2.o_orderdate >= o.o_orderdate - INTERVAL {int(days)} DAY
           AND o2.o_orderdate < o.o_orderdate) AS n_prior
 FROM orders o
 ORDER BY o.o_orderkey
 """
+
+
+ORDERS_PRIOR_WINDOW_SQL = orders_prior_window_sql(30)
 
 
 # ---------------------------------------------------------------------------
