@@ -253,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_flags": documents.DOC_QUALITY_FLAGS_SQL,
         "doc_top_terms": documents.DOC_TOP_TERMS_SQL,
         "doc_length_histogram": documents.DOC_LENGTH_HISTOGRAM_SQL,
+        "train_char_lm_counts": documents.TRAIN_CHAR_LM_COUNTS_SQL,
         "doc_split": f"""
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {TEST_HEX_DIGITS_SQL}

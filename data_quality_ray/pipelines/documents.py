@@ -328,6 +328,29 @@ def train_char_lm_counts(sf_dir: str, table_bits: int = 16) -> pd.DataFrame:
     return pd.DataFrame({"bucket": nz.astype(np.int64), "count": total[nz]})
 
 
+# The trigram id is pure byte arithmetic over the UTF-8 encoding
+# (((b0*31 + b1)*31 + b2) % 65536, functions/models.py:_trigram_ids_bytes),
+# so the TRAINED MODEL ARTIFACT itself is SQL-oracle-checkable: DuckDB
+# re-derives every byte via hex(encode(...)) pairs.
+TRAIN_CHAR_LM_COUNTS_SQL = r"""
+WITH enc AS (
+  SELECT hex(encode(' ' || lower(text) || ' ')) AS hx,
+         octet_length(encode(' ' || lower(text) || ' ')) AS nb
+  FROM documents
+),
+tg AS (
+  SELECT unnest([
+      ((CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT) * 31
+        + CAST(('0x' || substr(hx, 2*i + 1, 2)) AS BIGINT)) * 31
+        + CAST(('0x' || substr(hx, 2*i + 3, 2)) AS BIGINT)) % 65536
+      FOR i IN range(1, nb - 1)]) AS bucket
+  FROM enc WHERE nb >= 3
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS count
+FROM tg GROUP BY bucket ORDER BY bucket
+"""
+
+
 def doc_top_terms_cms(sf_dir: str, k: int = 25, candidates_per_block: int = 200) -> pd.DataFrame:
     """Approximate heavy hitters via a Count-Min Sketch — the bounded-state
     alternative to ``doc_top_terms`` for streams whose distinct-token count
