@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_hour": relational_ext.events_trailing_hour,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
         "events_user_hll": relational_ext.events_user_hll,
+        "events_value_quantiles": relational_ext.events_value_quantiles,
+        "events_value_k_corr": relational_ext.events_value_k_corr,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -246,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_prior_window": relational_ext.ORDERS_PRIOR_WINDOW_SQL,
         "q3_shipping_priority": relational_ext.Q3_SHIPPING_PRIORITY_SQL,
         "events_trailing_hour": relational_ext.EVENTS_TRAILING_HOUR_SQL,
+        "events_value_quantiles": relational_ext.EVENTS_VALUE_QUANTILES_SQL,
+        "events_value_k_corr": relational_ext.EVENTS_VALUE_K_CORR_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,

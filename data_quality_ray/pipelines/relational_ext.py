@@ -164,9 +164,12 @@ def events_value_median(sf_dir: str, *, force_distributed: bool = False) -> pd.D
 _MEDIAN_BINS = 8192
 
 
-def _events_value_median_histogram(sf_dir: str) -> pd.DataFrame:
-    """Distributed exact median: bounded-state histogram + pruned refine
-    (never holds a type's full value set anywhere)."""
+def _distributed_order_stats(sf_dir: str, ks_of_n) -> tuple[dict, dict]:
+    """EXACT per-type order statistics at the ranks ``ks_of_n(n)`` with
+    bounded state everywhere: per-type integer domain (pass 1), 8192-bin
+    map-side-combined histograms (pass 2, 64 KB partials), then a pruned
+    fetch of ONLY the bins containing the requested ranks (pass 3, tiny).
+    Returns ({type: {k: value_e6}}, {type: n})."""
     from ray.data.aggregate import Count, Max, Min
 
     src = rd.read_parquet(
@@ -214,53 +217,103 @@ def _events_value_median_histogram(sf_dir: str) -> pd.DataFrame:
         .set_index("event_type")
     )
 
-    # locate the bins holding ranks (n-1)//2 and n//2 (0-based)
+    # locate the bins holding every requested rank (0-based)
     need_bins: dict[str, set[int]] = {}
-    rank_info: dict[str, tuple[int, int, np.ndarray]] = {}
+    ks_by_type: dict[str, list[int]] = {}
+    cums: dict[str, np.ndarray] = {}
+    ns: dict[str, int] = {}
     for t in types:
         h = np.frombuffer(hists.loc[t, "hist"], dtype=np.int64)
         cum = np.cumsum(h)
         n = int(dom.loc[t, "n"])
-        k1, k2 = (n - 1) // 2, n // 2
-        b1 = int(np.searchsorted(cum, k1 + 1))
-        b2 = int(np.searchsorted(cum, k2 + 1))
-        need_bins[t] = {b1, b2}
-        rank_info[t] = (k1, k2, cum)
+        ks = sorted(set(ks_of_n(n)))
+        need_bins[t] = {int(np.searchsorted(cum, k + 1)) for k in ks}
+        ks_by_type[t], cums[t], ns[t] = ks, cum, n
 
-    # pass 3: pruned fetch of ONLY the median bins' values (tiny)
+    # pass 3: pruned fetch of ONLY the needed bins' values (tiny)
     bref = ray.put((lo, width, need_bins))
 
-    def in_median_bins(t: pa.Table) -> pa.Table:
+    def in_needed_bins(t: pa.Table) -> pa.Table:
         lo_, width_, need_ = ray.get(bref)
         et = pd.Series(t["event_type"].to_pylist())
         v = t["value_e6"].to_numpy()
         b = (v - et.map(lo_).to_numpy()) * _MEDIAN_BINS // et.map(width_).to_numpy()
-        nb1 = et.map({k: min(s) for k, s in need_.items()}).to_numpy()
-        nb2 = et.map({k: max(s) for k, s in need_.items()}).to_numpy()
-        return t.filter(pa.array((b == nb1) | (b == nb2)))
+        keep = np.zeros(len(v), dtype=bool)
+        for bin_ix in sorted({x for s in need_.values() for x in s}):
+            keep |= (b == bin_ix) & et.map(
+                {k: bin_ix in s for k, s in need_.items()}
+            ).to_numpy()
+        return t.filter(pa.array(keep))
 
-    cand = src.map_batches(in_median_bins, batch_format="pyarrow").to_pandas()
+    cand = src.map_batches(in_needed_bins, batch_format="pyarrow").to_pandas()
 
-    rows = []
+    out: dict[str, dict[int, int]] = {}
     for t in types:
-        k1, k2, cum = rank_info[t]
+        cum = cums[t]
         h = np.frombuffer(hists.loc[t, "hist"], dtype=np.int64)
         vals = np.sort(cand[cand["event_type"] == t]["value_e6"].to_numpy())
-
-        def kth(k: int) -> int:
+        got: dict[int, int] = {}
+        for k in ks_by_type[t]:
             b = int(np.searchsorted(cum, k + 1))
             before = int(cum[b - 1]) if b else 0
             # vals holds ONLY the needed bins' values, in bin order; offset
             # of bin b inside vals = count of needed-bin values below b
-            off = sum(
-                int(h[x]) for x in sorted(need_bins[t]) if x < b
-            )
-            return int(vals[off + (k - before)])
+            off = sum(int(h[x]) for x in sorted(need_bins[t]) if x < b)
+            got[k] = int(vals[off + (k - before)])
+        out[t] = got
+    return out, ns
 
-        v1, v2 = kth(k1), kth(k2)
-        m = _median_from_sorted_pair(float(v1), float(v2), odd=(k1 == k2))
+
+def _events_value_median_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact median via :func:`_distributed_order_stats`."""
+    stats, ns = _distributed_order_stats(
+        sf_dir, lambda n: [(n - 1) // 2, n // 2]
+    )
+    rows = []
+    for t in sorted(stats):
+        k1, k2 = (ns[t] - 1) // 2, ns[t] // 2
+        m = _median_from_sorted_pair(
+            float(stats[t][k1]), float(stats[t][k2]), odd=(k1 == k2)
+        )
         rows.append({"event_type": t, "median_value": m / 1_000_000.0})
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p25/p50/p75 of value per event type (linear interpolation at
+    rank (n−1)·q — DuckDB ``quantile_cont`` semantics), computed fully
+    distributed through the same bounded-state order-statistic machinery
+    as the median: only the ≤6 needed ranks' bins are ever fetched."""
+    qs = (0.25, 0.50, 0.75)
+
+    def ks_of_n(n: int) -> list[int]:
+        ks = []
+        for q in qs:
+            pos = (n - 1) * q
+            ks += [int(np.floor(pos)), int(np.ceil(pos))]
+        return ks
+
+    stats, ns = _distributed_order_stats(sf_dir, ks_of_n)
+    rows = []
+    for t in sorted(stats):
+        n = ns[t]
+        rec = {"event_type": t}
+        for q, name in zip(qs, ("q25", "q50", "q75")):
+            pos = (n - 1) * q
+            klo, khi = int(np.floor(pos)), int(np.ceil(pos))
+            vlo, vhi = float(stats[t][klo]), float(stats[t][khi])
+            rec[name] = (vlo + (pos - klo) * (vhi - vlo)) / 1_000_000.0
+        rows.append(rec)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.25) / 1000000.0 AS q25,
+       quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.50) / 1000000.0 AS q50,
+       quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.75) / 1000000.0 AS q75
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 EVENTS_VALUE_MEDIAN_SQL = """
@@ -782,3 +835,85 @@ def events_user_hll(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users_approx"] = out["n_users_approx"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def events_value_k_corr(sf_dir: str) -> pd.DataFrame:
+    """Correlation between the event value (cents fixed point) and the
+    JSON ``k`` property, per event type. The five moments (Σx, Σy, Σx²,
+    Σy², Σxy) are EXACT int64 sums — order-independent and map-side
+    combinable — and both sides evaluate the identical closed-form double
+    expression on those exact integers, so the result hash-matches the
+    oracle at any parallelism."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        y = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+
+    s = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value", "props"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            _Count(alias_name="n"),
+            _Sum("x", alias_name="sx"),
+            _Sum("y", alias_name="sy"),
+            _Sum("xx", alias_name="sxx"),
+            _Sum("yy", alias_name="syy"),
+            _Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = s["n"].to_numpy().astype(np.float64)
+    sx = s["sx"].to_numpy().astype(np.float64)
+    sy = s["sy"].to_numpy().astype(np.float64)
+    sxx = s["sxx"].to_numpy().astype(np.float64)
+    syy = s["syy"].to_numpy().astype(np.float64)
+    sxy = s["sxy"].to_numpy().astype(np.float64)
+    s["corr_xy"] = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )
+    return (
+        s[["event_type", "corr_xy"]].sort_values("event_type").reset_index(drop=True)
+    )
+
+
+EVENTS_VALUE_K_CORR_SQL = r"""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS corr_xy
+FROM s ORDER BY event_type
+"""
