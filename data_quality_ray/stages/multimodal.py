@@ -111,26 +111,37 @@ class ImageFeatureStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: sample every k-th frame of a fake-codec video into
-    one row per sampled frame (flat-map shape: output rows ≠ input rows)."""
+    """Actor-pool stage: sample every k-th frame of a video into one row
+    per sampled frame (flat-map shape: output rows ≠ input rows).
+
+    REAL demuxer for ``y4m`` (YUV4MPEG2 — pure-numpy parse + BT.601
+    conversion, functions/video_codecs.py) plus the header-free
+    ``fake-vid8`` test codec; containers that need a native library
+    (mp4/webm) remain declared stubs."""
 
     def __init__(self, every_k: int = 4):
         self.every_k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from data_quality_ray.functions import video_codecs
+
         vids, frames, idxs = [], [], []
         for i in range(batch.num_rows):
             fmt = batch["format"][i].as_py()
-            if fmt != "fake-vid8":
+            if fmt == "fake-vid8":
+                w = batch["width"][i].as_py()
+                h = batch["height"][i].as_py()
+                nf = batch["n_frames"][i].as_py()
+                buf = np.frombuffer(batch["bytes"][i].as_py(), dtype=np.uint8)
+                arr = buf.reshape(nf, h, w, 3)
+            elif fmt == "y4m":
+                arr = video_codecs.decode_y4m(batch["bytes"][i].as_py())
+            else:
                 raise NotImplementedError(
-                    f"video codec {fmt!r}: no real demuxer in this environment"
+                    f"video container {fmt!r}: needs a native demuxer (mp4/webm) "
+                    "not available in this environment"
                 )
-            w = batch["width"][i].as_py()
-            h = batch["height"][i].as_py()
-            nf = batch["n_frames"][i].as_py()
-            buf = np.frombuffer(batch["bytes"][i].as_py(), dtype=np.uint8)
-            arr = buf.reshape(nf, h, w, 3)
-            for f in range(0, nf, self.every_k):
+            for f in range(0, len(arr), self.every_k):
                 vids.append(batch["video_id"][i].as_py())
                 idxs.append(f)
                 frames.append(arr[f].tobytes())
@@ -176,16 +187,22 @@ def synth_images(n: int, width: int = 16, height: int = 12, seed: int = 5) -> pa
 
 
 def synth_videos(n: int, width: int = 8, height: int = 6, n_frames: int = 12, seed: int = 9) -> pa.Table:
+    """Deterministic video table mixing the raw fake codec with REAL Y4M
+    container payloads (every third row)."""
+    from data_quality_ray.functions import video_codecs
+
     rows = {k: [] for k in ("video_id", "bytes", "width", "height", "n_frames", "format")}
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         arr = rng.integers(0, 256, (n_frames, height, width, 3), dtype=np.uint8)
+        fmt = "y4m" if i % 3 == 2 else "fake-vid8"
+        payload = video_codecs.encode_y4m(arr) if fmt == "y4m" else arr.tobytes()
         rows["video_id"].append(f"vid-{i:06d}")
-        rows["bytes"].append(arr.tobytes())
+        rows["bytes"].append(payload)
         rows["width"].append(width)
         rows["height"].append(height)
         rows["n_frames"].append(n_frames)
-        rows["format"].append("fake-vid8")
+        rows["format"].append(fmt)
     return pa.table(
         {
             "video_id": pa.array(rows["video_id"], pa.string()),

@@ -151,3 +151,39 @@ def test_spectrogram_png_sink(ray_session, clips_dir_1k, tmp_path):
             img = ic.decode_png(f.read())
         assert img.ndim == 3 and img.shape[2] == 3
         assert img.shape[0] == 129  # N_FFT//2+1 frequency bins on y
+
+
+def test_y4m_roundtrip_c444_and_c420():
+    from data_quality_ray.functions import video_codecs as vc
+
+    frames = np.random.default_rng(7).integers(0, 256, (3, 6, 8, 3), dtype=np.uint8)
+    dec = vc.decode_y4m(vc.encode_y4m(frames))
+    assert dec.shape == frames.shape
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 2  # C444 near-lossless
+
+    flat = np.full((2, 4, 4, 3), 120, dtype=np.uint8)  # chroma-flat → C420 exact-ish
+    dec420 = vc.decode_y4m(vc.encode_y4m(flat, c420=True))
+    assert dec420.shape == flat.shape
+    assert np.abs(dec420.astype(int) - flat.astype(int)).max() <= 2
+
+    with pytest.raises(ValueError):
+        vc.decode_y4m(b"not a y4m stream\n")
+    with pytest.raises(NotImplementedError):
+        vc.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n" + b"\x00" * 32)
+
+
+def test_frame_sample_stage_demuxes_y4m(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.stages import multimodal as mm
+
+    tbl = mm.synth_videos(6, n_frames=12)
+    fmts = tbl["format"].to_pylist()
+    assert "y4m" in fmts and "fake-vid8" in fmts
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(mm.FrameSampleStage, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == 6 * 3  # 12 frames sampled every 4
+    assert all(len(b) == 8 * 6 * 3 for b in out["frame_bytes"])
