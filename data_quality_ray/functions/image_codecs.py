@@ -187,3 +187,44 @@ def encode_bmp(img: np.ndarray) -> bytes:
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     )
     return header + data
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6 binary, 8-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """PPM P6 bytes → (h, w, 3) uint8 RGB (comments tolerated)."""
+    if buf[:2] != b"P6":
+        raise ValueError("ppm: bad magic (only binary P6 supported)")
+    # header = magic, width, height, maxval — whitespace-separated with
+    # optional '#' comment lines
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"ppm: maxval {maxval} != 255 not supported")
+    expect = w * h * 3
+    data = np.frombuffer(buf, dtype=np.uint8, count=expect, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PPM P6 bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"encode_ppm expects (h, w, 3), got {img.shape}")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()

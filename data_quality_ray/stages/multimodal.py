@@ -1,14 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Audio is this repo's REAL multimodal path (stages/decode.py decodes actual
-G.711/wav payloads). Image and video decode need codec libraries that are
-not in this container, so — per the build brief — the decode kernels for
-those are STUBBED: a deterministic fake codec (``fake-rgb8`` /
-``fake-vid8``: raw uint8 frames, header-free) is decoded for real, any
-other format raises ``NotImplementedError`` with a clear message. The
-Ray-side plumbing (schema, actor-pool signature, batch sizing, output
-layout) is real and tested; swapping a real decoder in is a one-function
-change per format.
+Every modality now has REAL on-disk-format decoders with no codec library:
+audio (stages/decode.py — WAV/G.711/pcm16 + ADPCM extension), images
+(PNG with all five scanline filters, 24-bpp BMP, PPM P6 —
+functions/image_codecs.py) and video (Y4M/YUV4MPEG2 C444+C420 demux with
+BT.601 conversion — functions/video_codecs.py), alongside the
+deterministic header-free fake codecs (``fake-rgb8`` / ``fake-vid8``) used
+by tests. Only formats that genuinely require a native library
+(jpeg/webp images, mp4/webm containers) raise a declared
+``NotImplementedError``. The Ray-side plumbing (schema, actor-pool
+signature, batch sizing, output layout) is uniform across all of them.
 """
 
 from __future__ import annotations
@@ -57,6 +58,8 @@ def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
         return image_codecs.decode_png(buf)
     if fmt == "bmp":
         return image_codecs.decode_bmp(buf)
+    if fmt == "ppm":
+        return image_codecs.decode_ppm(buf)
     raise NotImplementedError(
         f"image codec {fmt!r}: decoders needing a native library (jpeg/webp) "
         "are not available in this environment — plug one into decode_image()"

@@ -187,3 +187,13 @@ def test_frame_sample_stage_demuxes_y4m(ray_session):
     )
     assert len(out) == 6 * 3  # 12 frames sampled every 4
     assert all(len(b) == 8 * 6 * 3 for b in out["frame_bytes"])
+
+
+def test_ppm_roundtrip_and_comments():
+    img = _rand_img(9, 7, seed=40)
+    assert np.array_equal(ic.decode_ppm(ic.encode_ppm(img)), img)
+    # hand-built header with a comment line
+    buf = b"P6\n# a comment\n7 9\n255\n" + img.tobytes()
+    assert np.array_equal(ic.decode_ppm(buf), img)
+    with pytest.raises(ValueError):
+        ic.decode_ppm(b"P3\n1 1\n255\n000")

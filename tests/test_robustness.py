@@ -92,3 +92,27 @@ def test_orphan_tmp_dirs_swept_on_retry(ray_session, clips_dir_1k, tmp_path):
     assert summary["rows"] == 1000
     assert not os.path.exists(stale)
     assert glob.glob(os.path.join(out, ".tmp-*")) == []
+
+
+def test_pipeline_tolerates_extra_input_columns(ray_session, tmp_path):
+    """Schema evolution: an input clip table with EXTRA columns must flow
+    through the full annotation DAG unchanged (extras are not part of the
+    output contract but must not break validation or any stage)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.pipelines import quality
+
+    src = pq.read_table("/tmp/vfy_clips/sf0.001/clips")
+    extra = src.append_column(
+        "extra_meta", pa.array([f"m{i}" for i in range(src.num_rows)], pa.string())
+    )
+    d = str(tmp_path / "clips_extra")
+    os.makedirs(d)
+    pq.write_table(extra, os.path.join(d, "part-0.parquet"))
+    out = quality.annotate(quality.read_clips(d))
+    df = out.to_pandas()
+    assert len(df) == src.num_rows
+    assert "keep" in df.columns and "extra_meta" in df.columns
