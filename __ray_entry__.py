@@ -121,6 +121,18 @@ def _q_window_records(sf_dir: str):
     return out.sort_values("window_id").reset_index(drop=True)
 
 
+def _q_clip_audio_near_dup(sf_dir: str):
+    from data_quality_ray.pipelines.multimodal_dedup import clip_audio_near_dup
+
+    return clip_audio_near_dup(_clip_dir(sf_dir), limit=1000)
+
+
+def _q_image_near_dup(sf_dir: str):
+    from data_quality_ray.pipelines.multimodal_dedup import image_near_dup
+
+    return image_near_dup(n_images=300)
+
+
 def _q_clip_audio_embeddings(sf_dir: str):
     from data_quality_ray.stages.audio_embed import clip_audio_embeddings
 
@@ -207,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": embeddings.embedding_near_dup,
         # audio embeddings over the clip table (log-mel actor pool)
         "clip_audio_embeddings": _q_clip_audio_embeddings,
+        # multimodal content-level dedup (audio transcodes, image aHash)
+        "clip_audio_near_dup": _q_clip_audio_near_dup,
+        "image_near_dup": _q_image_near_dup,
     }
 
 

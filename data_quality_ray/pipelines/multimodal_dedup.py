@@ -1,0 +1,241 @@
+"""Content-level near-duplicate detection for AUDIO and IMAGE payloads —
+the multimodal extension of the text dedup family, reusing its distributed
+pair machinery (banded candidates → bucket-partitioned signature joins →
+vectorized verify; pipelines/dedup.py).
+
+- audio: clips are embedded (log-mel actor pool, stages/audio_embed.py) and
+  near-dups found by cosine over LSH-bucketed candidates — catches the
+  SAME recording re-encoded through a different codec (G.711 transcodes,
+  ADPCM), which exact byte hashing can never match.
+- image: a 64-bit average-hash (8×8 grayscale mean threshold — the classic
+  public aHash) with simhash-style 4×16 banding (pigeonhole-lossless for
+  hamming ≤ 3) and exact popcount verification.
+
+Both plant their duplicates (re-encoded clips / noised images at
+id + DUP_OFFSET) since the synthetic tables are duplicate-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from data_quality_ray.functions import codecs
+from data_quality_ray.pipelines.dedup import (
+    DUP_OFFSET,
+    _attach_both_sigs,
+    _candidate_pairs_ds,
+    _verify_simhash_batch,
+)
+
+import functools
+
+
+# ---------------------------------------------------------------------------
+# Audio: codec-transcode-invariant near-dup via embeddings
+# ---------------------------------------------------------------------------
+
+
+def _clip_num(ids: list[str]) -> np.ndarray:
+    """clip-000123 → 123 (the numeric identity the pair machinery keys on)."""
+    return np.array([int(str(s).rsplit("-", 1)[-1]) for s in ids], dtype=np.int64)
+
+
+def clip_audio_near_dup(
+    clips_dir: str, threshold: float = 0.9999, limit: int = 2000
+) -> pd.DataFrame:
+    """(a, b) pairs of clips whose CONTENT matches across codecs.
+
+    The corpus is doubled with TRANSCODED copies (decode → re-encode via a
+    different codec, id + DUP_OFFSET) — byte-level dedup can never match
+    these; the log-mel embedding is codec-invariant (tested ≥ 0.999 cosine
+    across pcm16/wav/ulaw/alaw), so cosine ≥ threshold recovers them.
+    Shape: embed (actor pool) → hyperplane LSH bucket explode (key-only)
+    → partitioned pair generation → partitioned embedding joins →
+    vectorized cosine verify. ``limit`` bounds the demo corpus.
+
+    Threshold calibration (measured at 400 clips + transcodes): 0.9999
+    returns EXACTLY the planted transcode pairs; 0.999 adds clips whose
+    synthesis recipes genuinely share spectral content — lower it to hunt
+    recipe-level near-dups rather than transcodes."""
+    from data_quality_ray.pipelines.embeddings import _Hyperplanes
+    from data_quality_ray.stages.audio_embed import N_MELS, AudioEmbedStage
+    from data_quality_ray import config
+
+    base = rd.read_parquet(
+        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
+    ).limit(limit)
+
+    _NEXT = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
+
+    def transcode(t: pa.Table) -> pa.Table:
+        ids, bufs, srs, cods, outc = [], [], [], [], []
+        for i in range(t.num_rows):
+            sr = int(t["sr_hz"][i].as_py())
+            codec = t["codec"][i].as_py()
+            pcm = codecs.decode_tolerant(t["bytes"][i].as_py(), codec, sr)
+            if pcm is None:
+                continue
+            new_codec = _NEXT.get(codec, "ulaw")
+            pcm16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int16)
+            num = int(str(t["clip_id"][i].as_py()).rsplit("-", 1)[-1]) + DUP_OFFSET
+            ids.append(f"clip-{num:09d}")
+            bufs.append(codecs.encode(pcm16, new_codec, sr))
+            srs.append(sr)
+            cods.append(new_codec)
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "sr_hz": pa.array(srs, pa.int32()),
+                "codec": pa.array(cods, pa.string()),
+            }
+        )
+
+    ds = base.union(base.map_batches(transcode, batch_format="pyarrow"))
+    emb = ds.map_batches(
+        AudioEmbedStage,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=config.actor_pool_bounds(),
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keep = t.filter(t["decode_ok"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": pa.array(_clip_num(keep["clip_id"].to_pylist()), pa.int64()),
+                "embedding": keep["embedding"].combine_chunks(),
+            }
+        )
+
+    keyed_ds = emb.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    hp = _Hyperplanes(N_MELS, n_tables=8, n_bits=8, seed=29)
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        mat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(
+            len(ids), -1
+        )
+        codes = hp.codes(mat)  # embeddings are already L2-normalized
+        n, T_ = codes.shape
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(T_, dtype=np.int32), n)),
+                "band_hash": pa.array(codes.T.reshape(-1).astype(np.uint64), pa.uint64()),
+                "doc_id": pa.array(np.tile(ids, T_), pa.int64()),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        A = np.asarray(t["sig_a"].combine_chunks().flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1
+        )
+        B = np.asarray(t["sig_b"].combine_chunks().flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1
+        )
+        keep = pa.array(np.einsum("ij,ij->i", A, B) >= threshold)
+        return t.select(["a", "b"]).filter(keep).cast(schema)
+
+    cand = _candidate_pairs_ds(keyed_ds.map_batches(to_buckets, batch_format="pyarrow"))
+    joined = _attach_both_sigs(cand, keyed_ds, "embedding", pa.list_(pa.float32()))
+    pairs = (
+        joined.map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Image: perceptual average-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def ahash64(img: np.ndarray) -> np.uint64:
+    """Classic 64-bit average hash: 8×8 nearest-resized grayscale, bit set
+    where the pixel exceeds the mean."""
+    h, w = img.shape[:2]
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    small = img[ys][:, xs].astype(np.float64)
+    gray = small @ np.array([0.299, 0.587, 0.114])
+    bits = (gray > gray.mean()).reshape(-1)
+    return np.uint64((bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def image_near_dup(
+    n_images: int = 300, max_hamming: int = 3, seed: int = 5
+) -> pd.DataFrame:
+    """(doc_id, cluster_rep) over a synthetic image corpus doubled with
+    mildly noised copies (id + DUP_OFFSET): aHash signature per image →
+    simhash-style 4×16 banding (lossless for hamming ≤ 3) → partitioned
+    signature joins → exact popcount verify → connected components."""
+    from data_quality_ray.pipelines.dedup import _connected_components, _labeled_output
+    from data_quality_ray.stages.multimodal import decode_image, synth_images
+
+    tbl = synth_images(n_images, seed=seed)
+
+    def decode_all(t: pa.Table) -> pa.Table:
+        ids_out, sig_out = [], []
+        for i in range(t.num_rows):
+            try:
+                img = decode_image(
+                    t["bytes"][i].as_py(),
+                    t["width"][i].as_py(),
+                    t["height"][i].as_py(),
+                    t["format"][i].as_py(),
+                )
+            except (NotImplementedError, ValueError):
+                continue
+            num = int(str(t["image_id"][i].as_py()).rsplit("-", 1)[-1])
+            rng = np.random.default_rng(num + 4242)  # content-keyed noise
+            noisy = np.clip(
+                img.astype(np.int32) + rng.integers(-6, 7, img.shape), 0, 255
+            ).astype(np.uint8)
+            ids_out += [num, num + DUP_OFFSET]
+            sig_out += [ahash64(img), ahash64(noisy)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "simhash": pa.array(sig_out, pa.uint64()),
+            }
+        )
+
+    sigs = rd.from_arrow(tbl).map_batches(decode_all, batch_format="pyarrow").materialize()
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = t["simhash"].to_numpy()
+        band, bhash, did = [], [], []
+        for b in range(4):
+            chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            band.extend([b] * len(ids))
+            bhash.extend(chunk.tolist())
+            did.extend(ids.tolist())
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int32()),
+                "band_hash": pa.array(bhash, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+            }
+        )
+
+    cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
+    joined = _attach_both_sigs(cand, sigs, "simhash", pa.uint64())
+    verified = joined.map_batches(
+        functools.partial(_verify_simhash_batch, max_hamming=max_hamming),
+        batch_format="pyarrow",
+    ).to_pandas()
+    comp = _connected_components(
+        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+    )
+    return _labeled_output(sigs, comp)

@@ -200,3 +200,24 @@ def test_minhash_checked_variant_finds_planted(_ray):
     assert len(out) == 2 * N_DOCS
     rate = _same_cluster_rate(out)
     assert rate >= 0.95, f"only {rate:.2%} of planted near-dups found"
+
+
+def test_clip_audio_near_dup_finds_transcodes(_ray, clips_dir_1k):
+    """Content-level audio dedup: transcoded copies (different codec, same
+    waveform) must pair with their originals — byte hashing never could."""
+    from data_quality_ray.pipelines import multimodal_dedup as md
+
+    pairs = md.clip_audio_near_dup(clips_dir_1k, limit=400)
+    planted = pairs[(pairs["b"] - pairs["a"]) == dedup.DUP_OFFSET]
+    assert len(planted) >= 0.9 * 400 * 0.9  # ≥90% of decodable planted pairs
+
+
+def test_image_near_dup_clusters_noised_copies(_ray):
+    from data_quality_ray.pipelines import multimodal_dedup as md
+
+    out = md.image_near_dup(n_images=200)
+    rep = dict(zip(out["doc_id"], out["cluster_rep"]))
+    orig = [i for i in rep if i < dedup.DUP_OFFSET]
+    hits = [rep[i + dedup.DUP_OFFSET] == rep[i] for i in orig if i + dedup.DUP_OFFSET in rep]
+    assert len(hits) > 100
+    assert float(np.mean(hits)) >= 0.8, f"only {np.mean(hits):.0%} noised copies clustered"
