@@ -72,7 +72,7 @@ def clip_audio_near_dup(
     _NEXT = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
 
     def transcode(t: pa.Table) -> pa.Table:
-        ids, bufs, srs, cods, outc = [], [], [], [], []
+        ids, bufs, srs, cods = [], [], [], []
         for i in range(t.num_rows):
             sr = int(t["sr_hz"][i].as_py())
             codec = t["codec"][i].as_py()
