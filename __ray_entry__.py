@@ -133,6 +133,12 @@ def _q_image_near_dup(sf_dir: str):
     return image_near_dup(n_images=300)
 
 
+def _q_video_near_dup(sf_dir: str):
+    from data_quality_ray.pipelines.multimodal_dedup import video_near_dup
+
+    return video_near_dup(n_videos=120)
+
+
 def _q_clip_audio_embeddings(sf_dir: str):
     from data_quality_ray.stages.audio_embed import clip_audio_embeddings
 
@@ -222,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal content-level dedup (audio transcodes, image aHash)
         "clip_audio_near_dup": _q_clip_audio_near_dup,
         "image_near_dup": _q_image_near_dup,
+        "video_near_dup": _q_video_near_dup,
     }
 
 

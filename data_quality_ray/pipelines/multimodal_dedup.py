@@ -1,4 +1,4 @@
-"""Content-level near-duplicate detection for AUDIO and IMAGE payloads —
+"""Content-level near-duplicate detection for AUDIO, IMAGE and VIDEO payloads —
 the multimodal extension of the text dedup family, reusing its distributed
 pair machinery (banded candidates → bucket-partitioned signature joins →
 vectorized verify; pipelines/dedup.py).
@@ -11,8 +11,13 @@ vectorized verify; pipelines/dedup.py).
   public aHash) with simhash-style 4×16 banding (pigeonhole-lossless for
   hamming ≤ 3) and exact popcount verification.
 
-Both plant their duplicates (re-encoded clips / noised images at
-id + DUP_OFFSET) since the synthetic tables are duplicate-free.
+- video: a video's signature is its SET of per-frame aHashes; 16-bit band
+  blocking of every frame hash generates candidates and verification
+  requires most frames to find a low-hamming partner (order-free, so
+  re-encoded/noised copies match).
+
+All variants plant their duplicates (re-encoded clips / noised images and
+videos at id + DUP_OFFSET) since the synthetic tables are duplicate-free.
 """
 
 from __future__ import annotations
@@ -235,6 +240,114 @@ def image_near_dup(
         functools.partial(_verify_simhash_batch, max_hamming=max_hamming),
         batch_format="pyarrow",
     ).to_pandas()
+    comp = _connected_components(
+        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+    )
+    return _labeled_output(sigs, comp)
+
+
+# ---------------------------------------------------------------------------
+# Video: frame-hash-set near-dup
+# ---------------------------------------------------------------------------
+
+
+def video_near_dup(
+    n_videos: int = 120, max_hamming: int = 3, min_frame_match: float = 0.75, seed: int = 9
+) -> pd.DataFrame:
+    """(doc_id, cluster_rep) over a synthetic video corpus doubled with
+    noised copies: a video's signature is its SET of per-frame aHashes
+    (order-free, like a shingle set); candidates come from 16-bit band
+    blocking of every frame hash (pigeonhole-lossless per frame for
+    hamming ≤ 3); verification matches frames pairwise by popcount and
+    requires ≥ ``min_frame_match`` of frames to find a ≤-hamming partner.
+    Same distributed pair machinery as the text/image/audio families."""
+    from data_quality_ray.pipelines.dedup import _connected_components, _labeled_output
+    from data_quality_ray.stages.multimodal import synth_videos
+
+    tbl = synth_videos(n_videos, seed=seed)
+
+    def sigs_batch(t: pa.Table) -> pa.Table:
+        from data_quality_ray.functions import video_codecs
+
+        ids_out, sig_out = [], []
+        for i in range(t.num_rows):
+            fmt = t["format"][i].as_py()
+            buf = t["bytes"][i].as_py()
+            if fmt == "fake-vid8":
+                nf, h, w = (t[c][i].as_py() for c in ("n_frames", "height", "width"))
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(nf, h, w, 3)
+            else:
+                arr = video_codecs.decode_y4m(buf)
+            num = int(str(t["video_id"][i].as_py()).rsplit("-", 1)[-1])
+            rng = np.random.default_rng(num + 777)  # content-keyed perturbation
+            noisy = np.clip(
+                arr.astype(np.int32) + rng.integers(-5, 6, arr.shape), 0, 255
+            ).astype(np.uint8)
+            for vid, frames in ((num, arr), (num + DUP_OFFSET, noisy)):
+                hs = np.unique(
+                    np.array([ahash64(f) for f in frames], dtype=np.uint64)
+                )
+                ids_out.append(vid)
+                sig_out.append(hs.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "fh": pa.array(sig_out, pa.list_(pa.uint64())),
+            }
+        )
+
+    sigs = rd.from_arrow(tbl).map_batches(sigs_batch, batch_format="pyarrow").materialize()
+
+    def bands(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = t["fh"].combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        vals = np.asarray(arr.flatten(), dtype=np.uint64)
+        ids = np.repeat(t["doc_id"].to_numpy(), lens)
+        band, bhash, did = [], [], []
+        for b in range(4):
+            chunk = (vals >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            band.append(np.full(len(vals), b, dtype=np.int32))
+            bhash.append(chunk)
+            did.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band), pa.int32()),
+                "band_hash": pa.array(np.concatenate(bhash), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(did), pa.int64()),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        fa = t["sig_a"].combine_chunks()
+        fb = t["sig_b"].combine_chunks()
+        la = pc.list_value_length(fa).to_numpy().astype(np.int64)
+        lb = pc.list_value_length(fb).to_numpy().astype(np.int64)
+        va = np.asarray(fa.flatten(), dtype=np.uint64)
+        vb = np.asarray(fb.flatten(), dtype=np.uint64)
+        oa = np.concatenate([[0], np.cumsum(la)])
+        ob = np.concatenate([[0], np.cumsum(lb)])
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for i in range(t.num_rows):
+            A = va[oa[i] : oa[i + 1]]
+            B = vb[ob[i] : ob[i + 1]]
+            x = A[:, None] ^ B[None, :]
+            pop = np.unpackbits(
+                x.view(np.uint8).reshape(x.size, 8), axis=1
+            ).sum(axis=1).reshape(x.shape)
+            matched = (pop.min(axis=1) <= max_hamming).mean()
+            keep[i] = matched >= min_frame_match
+        return t.select(["a", "b"]).filter(pa.array(keep)).cast(schema)
+
+    cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
+    joined = _attach_both_sigs(cand, sigs, "fh", pa.list_(pa.uint64()))
+    verified = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     comp = _connected_components(
         [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
     )

@@ -221,3 +221,14 @@ def test_image_near_dup_clusters_noised_copies(_ray):
     hits = [rep[i + dedup.DUP_OFFSET] == rep[i] for i in orig if i + dedup.DUP_OFFSET in rep]
     assert len(hits) > 100
     assert float(np.mean(hits)) >= 0.8, f"only {np.mean(hits):.0%} noised copies clustered"
+
+
+def test_video_near_dup_clusters_noised_copies(_ray):
+    from data_quality_ray.pipelines import multimodal_dedup as md
+
+    out = md.video_near_dup(n_videos=60)
+    rep = dict(zip(out["doc_id"], out["cluster_rep"]))
+    orig = [i for i in rep if i < dedup.DUP_OFFSET]
+    hits = [rep[i + dedup.DUP_OFFSET] == rep[i] for i in orig]
+    assert len(hits) == 60
+    assert float(np.mean(hits)) >= 0.8, f"only {np.mean(hits):.0%} noised videos clustered"
