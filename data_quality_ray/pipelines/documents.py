@@ -332,6 +332,12 @@ def train_char_lm_counts(sf_dir: str, table_bits: int = 16) -> pd.DataFrame:
 # (((b0*31 + b1)*31 + b2) % 65536, functions/models.py:_trigram_ids_bytes),
 # so the TRAINED MODEL ARTIFACT itself is SQL-oracle-checkable: DuckDB
 # re-derives every byte via hex(encode(...)) pairs.
+#
+# Scope note: Python str.lower() applies FULL Unicode case mapping while
+# DuckDB lower() applies the simple mapping — they differ only on a handful
+# of codepoints (e.g. U+0130 'İ' → 'i̇' vs 'i'). The corpora contain none of
+# these, so the hash match is exact here; a corpus that does contain them
+# needs an ICU-collated oracle (or ASCII-scoped lowering on both sides).
 TRAIN_CHAR_LM_COUNTS_SQL = r"""
 WITH enc AS (
   SELECT hex(encode(' ' || lower(text) || ' ')) AS hx,

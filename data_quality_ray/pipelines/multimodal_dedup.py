@@ -33,6 +33,7 @@ from data_quality_ray.pipelines.dedup import (
     DUP_OFFSET,
     _attach_both_sigs,
     _candidate_pairs_ds,
+    _list_offsets,
     _verify_simhash_batch,
 )
 
@@ -122,6 +123,10 @@ def clip_audio_near_dup(
     hp = _Hyperplanes(N_MELS, n_tables=8, n_bits=8, seed=29)
 
     def to_buckets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # a batch whose clips all failed decode
+            return pa.schema(
+                [("band", pa.int32()), ("band_hash", pa.uint64()), ("doc_id", pa.int64())]
+            ).empty_table()
         ids = t["doc_id"].to_numpy()
         mat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(
             len(ids), -1
@@ -299,12 +304,8 @@ def video_near_dup(
     sigs = rd.from_arrow(tbl).map_batches(sigs_batch, batch_format="pyarrow").materialize()
 
     def bands(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        arr = t["fh"].combine_chunks()
-        lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
-        vals = np.asarray(arr.flatten(), dtype=np.uint64)
-        ids = np.repeat(t["doc_id"].to_numpy(), lens)
+        vals, offs = _list_offsets(t["fh"])
+        ids = np.repeat(t["doc_id"].to_numpy(), np.diff(offs))
         band, bhash, did = [], [], []
         for b in range(4):
             chunk = (vals >> np.uint64(16 * b)) & np.uint64(0xFFFF)
@@ -320,19 +321,11 @@ def video_near_dup(
         )
 
     def verify(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
         if t.num_rows == 0:
             return schema.empty_table()
-        fa = t["sig_a"].combine_chunks()
-        fb = t["sig_b"].combine_chunks()
-        la = pc.list_value_length(fa).to_numpy().astype(np.int64)
-        lb = pc.list_value_length(fb).to_numpy().astype(np.int64)
-        va = np.asarray(fa.flatten(), dtype=np.uint64)
-        vb = np.asarray(fb.flatten(), dtype=np.uint64)
-        oa = np.concatenate([[0], np.cumsum(la)])
-        ob = np.concatenate([[0], np.cumsum(lb)])
+        va, oa = _list_offsets(t["sig_a"])
+        vb, ob = _list_offsets(t["sig_b"])
         keep = np.zeros(t.num_rows, dtype=bool)
         for i in range(t.num_rows):
             A = va[oa[i] : oa[i + 1]]
@@ -341,8 +334,13 @@ def video_near_dup(
             pop = np.unpackbits(
                 x.view(np.uint8).reshape(x.size, 8), axis=1
             ).sum(axis=1).reshape(x.shape)
-            matched = (pop.min(axis=1) <= max_hamming).mean()
-            keep[i] = matched >= min_frame_match
+            hit = pop <= max_hamming
+            # SYMMETRIC coverage: most of a's frames must match in b AND
+            # vice versa — a short clip that is a subset of an unrelated
+            # longer video must NOT pair
+            cov_a = hit.any(axis=1).mean()
+            cov_b = hit.any(axis=0).mean()
+            keep[i] = min(cov_a, cov_b) >= min_frame_match
         return t.select(["a", "b"]).filter(pa.array(keep)).cast(schema)
 
     cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))

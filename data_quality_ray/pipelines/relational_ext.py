@@ -233,17 +233,23 @@ def _distributed_order_stats(sf_dir: str, ks_of_n) -> tuple[dict, dict]:
     # pass 3: pruned fetch of ONLY the needed bins' values (tiny)
     bref = ray.put((lo, width, need_bins))
 
+    tindex = {t_: i for i, t_ in enumerate(sorted(need_bins))}
+    allowed = np.sort(
+        np.array(
+            [tindex[t_] * (_MEDIAN_BINS + 1) + b for t_, s_ in need_bins.items() for b in s_],
+            dtype=np.int64,
+        )
+    )
+
     def in_needed_bins(t: pa.Table) -> pa.Table:
-        lo_, width_, need_ = ray.get(bref)
+        lo_, width_, _ = ray.get(bref)
         et = pd.Series(t["event_type"].to_pylist())
         v = t["value_e6"].to_numpy()
         b = (v - et.map(lo_).to_numpy()) * _MEDIAN_BINS // et.map(width_).to_numpy()
-        keep = np.zeros(len(v), dtype=bool)
-        for bin_ix in sorted({x for s in need_.values() for x in s}):
-            keep |= (b == bin_ix) & et.map(
-                {k: bin_ix in s for k, s in need_.items()}
-            ).to_numpy()
-        return t.filter(pa.array(keep))
+        # one composite (type-index, bin) key + one sorted-membership test
+        key = et.map(tindex).to_numpy() * (_MEDIAN_BINS + 1) + b
+        pos = np.minimum(np.searchsorted(allowed, key), len(allowed) - 1)
+        return t.filter(pa.array(allowed[pos] == key))
 
     cand = src.map_batches(in_needed_bins, batch_format="pyarrow").to_pandas()
 
@@ -858,7 +864,7 @@ def events_value_k_corr(sf_dir: str) -> pd.DataFrame:
         )
         m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
         y = pc.cast(pc.struct_field(m, "k"), pa.int64())
-        return pa.table(
+        out = pa.table(
             {
                 "event_type": t["event_type"],
                 "x": x,
@@ -868,6 +874,9 @@ def events_value_k_corr(sf_dir: str) -> pd.DataFrame:
                 "xy": pc.multiply(x, y),
             }
         )
+        # rows without a parseable k are EXCLUDED on both sides (the count
+        # must describe the same rows the sums do)
+        return out.filter(pc.is_valid(out["y"]))
 
     s = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value", "props"])
@@ -901,8 +910,9 @@ EVENTS_VALUE_K_CORR_SQL = r"""
 WITH c AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS x,
-         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS y
+         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS y
   FROM events
+  WHERE TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL
 ),
 s AS (
   SELECT event_type,

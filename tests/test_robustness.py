@@ -94,7 +94,7 @@ def test_orphan_tmp_dirs_swept_on_retry(ray_session, clips_dir_1k, tmp_path):
     assert glob.glob(os.path.join(out, ".tmp-*")) == []
 
 
-def test_pipeline_tolerates_extra_input_columns(ray_session, tmp_path):
+def test_pipeline_tolerates_extra_input_columns(ray_session, clips_dir_1k, tmp_path):
     """Schema evolution: an input clip table with EXTRA columns must flow
     through the full annotation DAG unchanged (extras are not part of the
     output contract but must not break validation or any stage)."""
@@ -105,7 +105,7 @@ def test_pipeline_tolerates_extra_input_columns(ray_session, tmp_path):
 
     from data_quality_ray.pipelines import quality
 
-    src = pq.read_table("/tmp/vfy_clips/sf0.001/clips")
+    src = pq.read_table(clips_dir_1k)
     extra = src.append_column(
         "extra_meta", pa.array([f"m{i}" for i in range(src.num_rows)], pa.string())
     )
