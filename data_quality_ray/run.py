@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kept-only", action="store_true", help="write only keep=True rows")
     p.add_argument("--num-cpus", type=int, default=None, help="cpus for a standalone local session")
     p.add_argument(
+        "--table",
+        choices=("clips", "documents"),
+        default="clips",
+        help="which flagship to run: the audio clip pipeline (default) or "
+        "the document-corpus pipeline over the same checkpointed engine",
+    )
+    p.add_argument(
         "--render-spectrograms",
         type=int,
         default=0,
@@ -44,15 +51,25 @@ def main(argv: list[str] | None = None) -> int:
         init_local_session(args.num_cpus)
 
     try:
-        from data_quality_ray.pipelines.quality import run_checkpointed
+        if args.table == "documents":
+            from data_quality_ray.pipelines.documents import run_document_pipeline
 
-        summary = run_checkpointed(
-            args.input,
-            args.output,
-            n_partitions=args.partitions,
-            resume=not args.no_resume,
-            kept_only=args.kept_only,
-        )
+            summary = run_document_pipeline(
+                args.input,
+                args.output,
+                n_partitions=args.partitions,
+                resume=not args.no_resume,
+            )
+        else:
+            from data_quality_ray.pipelines.quality import run_checkpointed
+
+            summary = run_checkpointed(
+                args.input,
+                args.output,
+                n_partitions=args.partitions,
+                resume=not args.no_resume,
+                kept_only=args.kept_only,
+            )
         # K1 analogue (runme.py:35-36): global bucket stats JSON at the root
         stats_path = os.path.join(args.output, "quality_stats.json")
         tmp = stats_path + ".tmp"

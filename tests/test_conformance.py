@@ -96,3 +96,56 @@ def test_train_char_lm_counts_matches_local(ray_session):
     nz = np.nonzero(total)[0]
     assert (got["bucket"].to_numpy() == nz).all()
     assert (got["count"].to_numpy() == total[nz]).all()
+
+
+def test_document_pipeline_matches_sequential_composition(ray_session):
+    """Text-flagship parity gate (the document twin of the clip F1 gate):
+    the distributed document DAG must agree with a single-process
+    sequential composition of the SAME kernels on every decision column."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.functions import models
+    from data_quality_ray.functions import text as T
+    from data_quality_ray import config
+    from data_quality_ray.pipelines.documents import document_pipeline
+    from data_quality_ray.stages.decision import decision_batch
+    from data_quality_ray.stages.langid import langid_batch
+    from data_quality_ray.stages.scrub import scrub_batch
+    from data_quality_ray.stages.split import split_batch
+
+    sf = "/root/testdata/sf0.001"
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    # sequential oracle: same kernels, one process, no Ray
+    t = pa.table({"doc_id": src["doc_id"], "transcript": src["text"]})
+    t = scrub_batch(t)
+    t = langid_batch(t)
+    texts = t["transcript_scrubbed"].to_pylist()
+    ppl = np.asarray(models.ppl_scores(t["transcript_scrubbed"]), dtype=np.float64)
+    rep = T.repetition_ratio(texts)
+    sym = T.symbol_density(texts)
+    n_chars = T.char_lengths(texts)
+    flags = [
+        [f for f, hit in (("rep", rep[i] > config.REP_MAX),
+                          ("sym", sym[i] > config.SYM_MAX),
+                          ("len", n_chars[i] < 64)) if hit]
+        for i in range(t.num_rows)
+    ]
+    t = (
+        t.append_column("ppl", pa.array(ppl, pa.float64()))
+        .append_column("rule_flags", pa.array(flags, pa.list_(pa.string())))
+        .append_column("decode_ok", pa.array(np.ones(t.num_rows, dtype=bool)))
+    )
+    t = split_batch(decision_batch(t), key="doc_id")
+    oracle = (
+        t.select(["doc_id", "lang", "split", "keep", "bucket", "quality_score"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    got = document_pipeline(sf)
+    pd.testing.assert_frame_equal(got, oracle)
