@@ -258,6 +258,11 @@ def run_checkpointed(
             ds.map_batches(write_and_stats, batch_format="pyarrow", batch_size=None)
             .to_pandas()
         )
+        if "lang" not in parts.columns:
+            # a fully-empty partition (zero-row input file) yields ZERO
+            # blocks — map_batches never ran, so the frame has no columns;
+            # substitute the schema-stable empty partial
+            parts = _LINEAGE_PARTIAL_SCHEMA.empty_table().to_pandas()
         agg = (
             parts.groupby(["lang", "split"], sort=True)
             .agg(

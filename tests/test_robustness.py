@@ -116,3 +116,24 @@ def test_pipeline_tolerates_extra_input_columns(ray_session, clips_dir_1k, tmp_p
     df = out.to_pandas()
     assert len(df) == src.num_rows
     assert "keep" in df.columns and "extra_meta" in df.columns
+
+
+def test_checkpointed_run_with_empty_input_file(ray_session, tmp_path):
+    """A ZERO-ROW input parquet file must flow through the checkpointed
+    runner end-to-end (the empty lineage partial used to poison the block
+    union with inferred-double columns)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.pipelines.documents import run_document_pipeline
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    pq.write_table(src.slice(0, 100), os.path.join(in_dir, "a.parquet"))
+    pq.write_table(src.slice(0, 0), os.path.join(in_dir, "b-empty.parquet"))
+    out = str(tmp_path / "out")
+    summary = run_document_pipeline(in_dir, out, n_partitions=2)
+    assert summary["partitions"] == 2
+    assert summary["rows"] == 100
