@@ -137,3 +137,23 @@ def test_checkpointed_run_with_empty_input_file(ray_session, tmp_path):
     summary = run_document_pipeline(in_dir, out, n_partitions=2)
     assert summary["partitions"] == 2
     assert summary["rows"] == 100
+
+
+def test_document_dag_tolerates_null_and_empty_text(ray_session):
+    """Null / empty text rows flow through the whole document DAG and come
+    out flagged, never crashing a stage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_ray.pipelines.documents import annotate_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world ok", None, ""], pa.string()),
+        }
+    )
+    out = annotate_documents(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert len(out) == 3
+    assert (out[out["doc_id"] > 1]["bucket"] == "bad").all()  # null/empty → flagged
+    assert not out[out["doc_id"] > 1]["keep"].any()
