@@ -76,16 +76,10 @@ def _q_doc_split(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    from data_quality_ray.functions.hashing import split_of
+    from data_quality_ray.functions.hashing import split_column
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "split": pa.array([split_of(str(i)) for i in ids], pa.string()),
-            }
-        )
+        return pa.table({"doc_id": t["doc_id"], "split": split_column(t["doc_id"])})
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()

@@ -76,7 +76,18 @@ def main() -> None:
             "from data_quality_ray.synth.clips import ensure_clips;"
             f"print(ensure_clips({name!r}))",
         ],
-        env=dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__))),
+        env=dict(
+            os.environ,
+            # PREPEND the repo root — don't clobber a deployment's PYTHONPATH
+            PYTHONPATH=os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.abspath(__file__)),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        ),
         capture_output=True,
         text=True,
         check=True,
@@ -127,6 +138,22 @@ def main() -> None:
     bench("orders_prior_window", lambda: relational_ext.orders_prior_window(sf_dir))
     bench("q3_shipping_priority", lambda: relational_ext.q3_shipping_priority(sf_dir))
     bench("doc_duplicate_spans", lambda: dedup.doc_duplicate_spans(sf_dir))
+
+    # ---- second flagship: checkpointed document-corpus pipeline ----
+    # input = just the documents table (the runner globs a directory)
+    doc_in = f"/tmp/bench_docs_{sf_name}"
+    os.makedirs(doc_in, exist_ok=True)
+    link = os.path.join(doc_in, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    doc_out = f"/tmp/bench_doc_out_{num_cpus}"
+    shutil.rmtree(doc_out, ignore_errors=True)
+    from data_quality_ray.pipelines.documents import run_document_pipeline
+
+    bench(
+        "document_pipeline",
+        lambda: run_document_pipeline(doc_in, doc_out, n_partitions=1, resume=False),
+    )
 
     print(
         json.dumps(

@@ -112,6 +112,14 @@ SCRUB_RULES: list[tuple[str, re.Pattern, str, str]] = [
 ]
 
 
+# "does ANY rule match" prefilter: one scan decides whether a row needs the
+# ordered 4-pass rewrite at all (most corpus rows are clean). Scoped (?i:)
+# keeps the tox branch case-insensitive without affecting the PII branches.
+ANY_SCRUB_RE = re.compile(
+    "|".join([EMAIL_RE_STR, PHONE_RE_STR, ID_RE_STR, f"(?i:{TOX_RE_STR})"])
+)
+
+
 def scrub_one(text: str) -> tuple[str, bool, bool]:
     """Apply all scrub rules in order. Returns (scrubbed, had_pii, had_tox)."""
     had_pii = False

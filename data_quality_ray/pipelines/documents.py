@@ -510,7 +510,12 @@ DOC_OUTPUT_COLUMNS = [
 
 
 def run_document_pipeline(
-    input_dir: str, out_dir: str, *, n_partitions: int = 4, resume: bool = True
+    input_dir: str,
+    out_dir: str,
+    *,
+    n_partitions: int = 4,
+    resume: bool = True,
+    kept_only: bool = False,
 ) -> dict:
     """Checkpointed, resumable document-corpus quality pipeline — the
     text-table counterpart of ``quality.run_checkpointed`` (same atomic
@@ -523,6 +528,7 @@ def run_document_pipeline(
         out_dir,
         n_partitions=n_partitions,
         resume=resume,
+        kept_only=kept_only,
         annotate_fn=annotate_documents,
         output_columns=DOC_OUTPUT_COLUMNS,
         id_column="doc_id",

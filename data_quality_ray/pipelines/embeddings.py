@@ -40,11 +40,54 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, arr
 
 
-def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic query set: the N_QUERIES lowest vec_ids."""
+def _query_ids(sf_dir: str) -> np.ndarray:
+    """The N_QUERIES lowest vec_ids, found WITHOUT materializing the table.
+
+    Scale shape: a pruned ``columns=["vec_id"]`` read → per-block partial
+    min-N inside ``map_batches`` → driver merges n_blocks × N_QUERIES ids
+    (tiny). The driver never holds the full id column, let alone vectors.
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
+
+    def block_min_n(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["vec_id"].to_numpy())[:N_QUERIES]
+        return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+    parts = ds.map_batches(block_min_n, batch_format="pyarrow").to_pandas()
+    return np.sort(parts["vec_id"].to_numpy())[:N_QUERIES]
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from parquet metadata — O(1), no table scan.
+
+    ``fixed_size_list`` carries the dim in the schema; a plain
+    ``list<float>`` does not, so fall back to decoding a SINGLE row from
+    the first row group.
+    """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    typ = pf.schema_arrow.field("embedding").type
+    if pa.types.is_fixed_size_list(typ):
+        return typ.list_size
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch["embedding"][0])
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the N_QUERIES lowest vec_ids.
+
+    Reads ONLY the N_QUERIES query rows by id filter (row-group-pruned
+    predicate pushdown) — never the whole vector table on the driver.
+    """
+    import pyarrow.parquet as pq
+
+    qids = _query_ids(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(v) for v in qids])],
+    )
     df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
@@ -241,7 +284,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
         batch_format="pyarrow",
     ).materialize()
 
-    dim = _load_queries(sf_dir)[1].shape[1]
+    dim = _emb_dim(sf_dir)  # schema metadata / single-row probe — no table read
     hp = _Hyperplanes(dim, n_tables=6, n_bits=10)
 
     def to_buckets(t: pa.Table) -> pa.Table:

@@ -854,8 +854,16 @@ def events_value_k_corr(sf_dir: str) -> pd.DataFrame:
     Σy², Σxy) are EXACT int64 sums — order-independent and map-side
     combinable — and both sides evaluate the identical closed-form double
     expression on those exact integers, so the result hash-matches the
-    oracle at any parallelism."""
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
+    oracle at any parallelism.
+
+    Overflow contract: DuckDB promotes sum(BIGINT) to HUGEINT, the Ray
+    side accumulates in int64 — the exact-match contract therefore only
+    holds while every |Σ moment| < 2⁶³ (e.g. n·max(x²) at x = cents:
+    safe to ~10⁹ rows of $30k values per group). Instead of documenting
+    silently: per-row squares use CHECKED multiplies, and the sums are
+    guarded by n·max(moment) < 2⁶² (factor-2 margin) — a breach raises
+    rather than wrapping."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, Sum as _Sum
 
     def moments(t: pa.Table) -> pa.Table:
         x = pc.cast(
@@ -864,14 +872,16 @@ def events_value_k_corr(sf_dir: str) -> pd.DataFrame:
         )
         m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
         y = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        xy = pc.multiply_checked(x, y)
         out = pa.table(
             {
                 "event_type": t["event_type"],
                 "x": x,
                 "y": y,
-                "xx": pc.multiply(x, x),
-                "yy": pc.multiply(y, y),
-                "xy": pc.multiply(x, y),
+                "xx": pc.multiply_checked(x, x),
+                "yy": pc.multiply_checked(y, y),
+                "xy": xy,
+                "axy": pc.abs(xy),
             }
         )
         # rows without a parseable k are EXCLUDED on both sides (the count
@@ -889,9 +899,21 @@ def events_value_k_corr(sf_dir: str) -> pd.DataFrame:
             _Sum("xx", alias_name="sxx"),
             _Sum("yy", alias_name="syy"),
             _Sum("xy", alias_name="sxy"),
+            _Max("xx", alias_name="mxx"),
+            _Max("yy", alias_name="myy"),
+            _Max("axy", alias_name="maxy"),
         )
         .to_pandas()
     )
+    nf = s["n"].to_numpy().astype(np.float64)
+    for mcol in ("mxx", "myy", "maxy"):
+        if (nf * s[mcol].to_numpy().astype(np.float64) > float(1 << 62)).any():
+            raise OverflowError(
+                "events_value_k_corr: int64 moment sums would exceed 2^62 "
+                f"(n·max({mcol})); the exact-hash contract vs DuckDB HUGEINT "
+                "no longer holds at this data magnitude"
+            )
+    s = s.drop(columns=["mxx", "myy", "maxy"])
     n = s["n"].to_numpy().astype(np.float64)
     sx = s["sx"].to_numpy().astype(np.float64)
     sy = s["sy"].to_numpy().astype(np.float64)

@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
         "(the reference's plot sink, behind a flag)",
     )
     args = p.parse_args(argv)
+    if args.render_spectrograms and args.table != "clips":
+        # the render step reads clip columns (clip_id, bytes, sr_hz, codec);
+        # fail fast instead of crashing after the pipeline already committed
+        p.error("--render-spectrograms requires --table clips")
 
     import ray
 
@@ -59,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 n_partitions=args.partitions,
                 resume=not args.no_resume,
+                kept_only=args.kept_only,
             )
         else:
             from data_quality_ray.pipelines.quality import run_checkpointed

@@ -24,9 +24,10 @@ class ScrubStage:
     """
 
     def __init__(self) -> None:
-        from data_quality_ray.functions.text import SCRUB_RULES  # compile once
+        from data_quality_ray.functions.text import ANY_SCRUB_RE, SCRUB_RULES  # compile once
 
         self._rules = SCRUB_RULES
+        self._any = ANY_SCRUB_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["transcript"].to_pylist()
@@ -34,8 +35,15 @@ class ScrubStage:
         out = [""] * n
         pii = np.zeros(n, dtype=bool)
         tox = np.zeros(n, dtype=bool)
+        any_search = self._any.search
         for i, t in enumerate(texts):
-            out[i], pii[i], tox[i] = scrub_one(t or "")
+            t = t or ""
+            # clean rows (the common case) skip the ordered 4-pass rewrite;
+            # no ANY_SCRUB_RE match ⇔ no individual rule matches
+            if any_search(t) is None:
+                out[i] = t
+            else:
+                out[i], pii[i], tox[i] = scrub_one(t)
         return (
             batch.append_column("transcript_scrubbed", pa.array(out, pa.string()))
             .append_column("had_pii", pa.array(pii))

@@ -15,11 +15,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from data_quality_ray.functions.hashing import split_of
+from data_quality_ray.functions.hashing import split_column
 
 
 def split_batch(batch: pa.Table, key: str = "clip_id") -> pa.Table:
-    ids = batch[key].to_pylist()
-    return batch.append_column(
-        "split", pa.array([split_of(str(i)) for i in ids], pa.string())
-    )
+    return batch.append_column("split", split_column(batch[key]))

@@ -163,6 +163,66 @@ def test_minhash_dedup_distributed_components_match(_ray, minhash_result):
     assert via_dist.equals(minhash_result)
 
 
+def test_minhash_dedup_dataset_components_match(_ray, minhash_result):
+    """Forced e2e run of the fully dataset-native CC mode (labels in a
+    Dataset, co-partitioned join rounds, no driver pair list) — must be
+    value-identical to the union-find default on the planted corpus."""
+    via_ds = dedup.minhash_dedup(SF_DIR, components="dataset")
+    assert via_ds.equals(minhash_result)
+
+
+def test_cc_labels_dataset_matches_union_find(_ray):
+    """Unit equivalence of the dataset-native label propagation vs driver
+    union-find on a graph with chains, a clique, and an isolated edge."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    pairs = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 10, 10, 11, 30, 50, 51, 52],
+            "b": [2, 3, 4, 11, 12, 12, 31, 51, 52, 53],
+        }
+    )
+    expected = dedup._connected_components([tuple(r) for r in pairs.to_numpy()])
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(pairs["a"], pa.int64()), "b": pa.array(pairs["b"], pa.int64())})
+    )
+    got = dedup._cc_labels_dataset(edges).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == expected
+
+
+def test_cc_labels_dataset_empty_edges(_ray):
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table())
+    assert dedup._cc_labels_dataset(empty).count() == 0
+
+
+def test_ann_ivf_pruned_read_skips_unprobed_cells(_ray, monkeypatch):
+    """The IVF query path must physically read ONLY probed cells' files —
+    asserts the constructed path list excludes unprobed partitions."""
+    import glob
+    import os
+
+    captured = {}
+    orig = embeddings.probed_cell_paths
+
+    def spy(index_dir, cells):
+        paths = orig(index_dir, cells)
+        all_files = set(glob.glob(os.path.join(index_dir, "cell=*", "*.parquet")))
+        captured["n_all"] = len(all_files)
+        captured["n_probed"] = len(paths)
+        assert set(paths) <= all_files
+        return paths
+
+    monkeypatch.setattr(embeddings, "probed_cell_paths", spy)
+    out = embeddings.ann_ivf(SF_DIR, n_cells=16, n_probe=1)
+    assert len(out) > 0
+    assert 0 < captured["n_probed"] < captured["n_all"], "query did not skip unprobed cells"
+
+
 def test_ivf_index_partition_pruning(_ray, tmp_path):
     """The stored IVF index is cell-partitioned and the query path's pruned
     read only touches probed cells' directories."""
