@@ -42,10 +42,13 @@ VIDEO_SCHEMA = pa.schema(
 def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
     """bytes → (h, w, 3) uint8.
 
-    REAL decoders: ``png`` (stdlib-zlib inflate + scanline unfiltering) and
-    ``bmp`` (24 bpp BI_RGB) via :mod:`data_quality_ray.functions.image_codecs`,
-    plus the header-free deterministic ``fake-rgb8`` test codec. Only
-    formats that require a native library (jpeg/webp) remain declared
+    REAL decoders: ``png`` (stdlib-zlib inflate + scanline unfiltering),
+    ``bmp`` (24 bpp BI_RGB), ``ppm`` via
+    :mod:`data_quality_ray.functions.image_codecs`, baseline ``jpeg``
+    (pure-numpy T.81 sequential DCT — 4:4:4/4:2:2/4:2:0, grayscale,
+    restart markers; :mod:`data_quality_ray.functions.jpeg_codec`), plus
+    the header-free deterministic ``fake-rgb8`` test codec. Only formats
+    that require a native library (webp; progressive jpeg) remain declared
     stubs."""
     from data_quality_ray.functions import image_codecs
 
@@ -60,8 +63,12 @@ def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
         return image_codecs.decode_bmp(buf)
     if fmt == "ppm":
         return image_codecs.decode_ppm(buf)
+    if fmt == "jpeg":
+        from data_quality_ray.functions.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(buf)  # progressive/arithmetic raise inside
     raise NotImplementedError(
-        f"image codec {fmt!r}: decoders needing a native library (jpeg/webp) "
+        f"image codec {fmt!r}: decoders needing a native library (webp) "
         "are not available in this environment — plug one into decode_image()"
     )
 
@@ -158,20 +165,24 @@ class FrameSampleStage:
 
 
 def synth_images(n: int, width: int = 16, height: int = 12, seed: int = 5) -> pa.Table:
-    """Deterministic image table mixing REAL on-disk formats (png, bmp),
-    the raw fake codec, and a declared-stub format (jpeg) for tests/demos."""
+    """Deterministic image table mixing REAL on-disk formats (png, bmp,
+    baseline jpeg — alternating 4:4:4/4:2:0), the raw fake codec, and a
+    declared-stub format (webp) for tests/demos."""
     from data_quality_ray.functions import image_codecs
+    from data_quality_ray.functions.jpeg_codec import encode_jpeg
 
     rows = {k: [] for k in ("image_id", "bytes", "width", "height", "format")}
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
-        fmt = "jpeg" if i % 7 == 0 else ("fake-rgb8", "png", "bmp")[i % 3]
+        fmt = "webp" if i % 7 == 0 else ("fake-rgb8", "png", "bmp", "jpeg")[i % 4]
         if fmt == "png":
             payload = image_codecs.encode_png(img)
         elif fmt == "bmp":
             payload = image_codecs.encode_bmp(img)
-        else:  # fake-rgb8 raw frames; jpeg rows carry raw bytes (stub path)
+        elif fmt == "jpeg":
+            payload = encode_jpeg(img, quality=92, subsample=bool(i % 2))
+        else:  # fake-rgb8 raw frames; webp rows carry raw bytes (stub path)
             payload = img.tobytes()
         rows["image_id"].append(f"img-{i:06d}")
         rows["bytes"].append(payload)

@@ -127,7 +127,7 @@ def test_image_stage_decodes_real_formats(ray_session):
 
     tbl = mm.synth_images(50)
     fmts = tbl["format"].to_pylist()
-    assert {"png", "bmp", "fake-rgb8", "jpeg"} <= set(fmts)
+    assert {"png", "bmp", "fake-rgb8", "jpeg", "webp"} <= set(fmts)
     out = (
         rd.from_arrow(tbl)
         .map_batches(mm.ImageFeatureStage, batch_format="pyarrow",
@@ -136,7 +136,49 @@ def test_image_stage_decodes_real_formats(ray_session):
     )
     ok = out.set_index("image_id")["decode_ok"]
     for i, fmt in enumerate(fmts):
-        assert ok[f"img-{i:06d}"] == (fmt != "jpeg")
+        # every REAL format (incl. baseline jpeg) decodes; only webp is a stub
+        assert ok[f"img-{i:06d}"] == (fmt != "webp")
+
+
+def test_jpeg_roundtrip_444_and_420():
+    from data_quality_ray.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53  # non-multiples of 8 exercise padding + cropping
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    for subsample, tol in ((False, 1.5), (True, 3.0)):
+        out = decode_jpeg(encode_jpeg(img, quality=92, subsample=subsample))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < tol, f"subsample={subsample}: mean err {err:.2f}"
+
+
+def test_jpeg_quality_tradeoff_monotone():
+    from data_quality_ray.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = np.clip(
+        np.kron(rng.integers(0, 256, (4, 5, 3)).astype(float), np.ones((8, 8, 1))),
+        0, 255,
+    ).astype(np.uint8)
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        buf = encode_jpeg(img, quality=q)
+        out = decode_jpeg(buf)
+        sizes.append(len(buf))
+        errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert sizes[0] <= sizes[1] <= sizes[2]
+    assert errs[0] >= errs[2]
+
+
+def test_jpeg_rejects_garbage():
+    from data_quality_ray.functions.jpeg_codec import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
 
 
 def test_spectrogram_png_sink(ray_session, clips_dir_1k, tmp_path):

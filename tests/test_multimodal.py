@@ -14,9 +14,28 @@ def test_decode_image_fake_codec_roundtrip():
     assert np.array_equal(out, img)
 
 
-def test_decode_image_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        mm.decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")
+def test_decode_image_native_codec_is_stubbed():
+    with pytest.raises(NotImplementedError, match="webp"):
+        mm.decode_image(b"RIFF....WEBP", 4, 4, "webp")
+
+
+def test_decode_image_progressive_jpeg_is_stubbed():
+    # SOI + SOF2 (progressive) header — the declared seam inside decode_jpeg
+    import struct
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes([8, 0, 4, 0, 4, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_image(sof2, 4, 4, "jpeg")
+
+
+def test_decode_image_baseline_jpeg_real():
+    from data_quality_ray.functions.jpeg_codec import encode_jpeg
+
+    yy, xx = np.mgrid[0:12, 0:16]
+    img = np.stack([xx * 16, yy * 20, (xx + yy) * 9], axis=-1).astype(np.uint8)
+    out = mm.decode_image(encode_jpeg(img, quality=95), 16, 12, "jpeg")
+    assert out.shape == (12, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
 
 
 def test_image_feature_stage_over_ray(ray_session):
@@ -31,7 +50,7 @@ def test_image_feature_stage_over_ray(ray_session):
     )
     assert len(out) == 50
     ok = out["decode_ok"]
-    assert ok.sum() == 42  # i % 7 == 0 rows (8 of 50) carry the stubbed codec
+    assert ok.sum() == 42  # i % 7 == 0 rows (8 of 50) carry the stubbed webp
     decoded = out[ok]
     assert all(len(t) == 48 for t in decoded["thumb"])  # 4×4×3
     stubbed = out[~ok]
