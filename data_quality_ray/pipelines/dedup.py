@@ -429,6 +429,32 @@ def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _cluster_output(
+    sigs: "rd.Dataset", verified_ds: "rd.Dataset", components: str = "driver"
+) -> pd.DataFrame:
+    """Shared tail of every near-dup operator: verified-pair Dataset →
+    (doc_id, cluster_rep) under the selected labeling engine.
+
+      - ``"driver"``: union-find on the collected pair list (pairs ≪ corpus).
+      - ``"distributed"``: per-edge min-label rounds as Ray groupbys;
+        per-node label map on the driver.
+      - ``"dataset"``: fully dataset-native (``_cc_labels_dataset``) — the
+        pair list never reaches the driver. The 100-TB path.
+    All three are value-identical (equivalence-tested)."""
+    if components == "dataset":
+        return _labeled_output_dataset(sigs, _cc_labels_dataset(verified_ds))
+    if components not in ("driver", "distributed"):
+        raise ValueError(f"unknown components mode: {components!r}")
+    verified = verified_ds.to_pandas()  # VERIFIED pairs only (≪ corpus)
+    if components == "distributed":
+        comp = _cc_labels_distributed(verified)
+    else:
+        comp = _connected_components(
+            [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+        )
+    return _labeled_output(sigs, comp)
+
+
 def minhash_dedup(
     sf_dir: str,
     *,
@@ -476,18 +502,7 @@ def minhash_dedup(
         functools.partial(_verify_minhash_batch, n_perm=n_perm, threshold=threshold),
         batch_format="pyarrow",
     )
-    if components == "dataset":
-        # verified pairs stay a Dataset end-to-end — no driver pair list
-        return _labeled_output_dataset(sigs, _cc_labels_dataset(verified_ds))
-    verified = verified_ds.to_pandas()  # VERIFIED pairs only (≪ corpus)
-    if components == "distributed":
-        # edge-heavy path: per-round min-reduction runs as Ray groupbys
-        comp = _cc_labels_distributed(verified)
-    else:
-        comp = _connected_components(
-            [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
-        )
-    return _labeled_output(sigs, comp)
+    return _cluster_output(sigs, verified_ds, components)
 
 
 def _verify_minhash_batch(t: pa.Table, n_perm: int, threshold: float) -> pa.Table:
@@ -539,7 +554,9 @@ def _simhash64(texts: list[str]) -> np.ndarray:
     return out
 
 
-def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_dedup(
+    sf_dir: str, max_hamming: int = 3, components: str = "driver"
+) -> pd.DataFrame:
     """Near-dup clustering of the perturbed-doubled corpus by SimHash.
 
     Blocking: 4 bands of 16 bits — any pair with hamming distance ≤ 3 shares
@@ -578,14 +595,11 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     # hamming verification via the same partitioned join — both simhash
     # values arrive co-located, popcount is vectorized per batch
     joined = _attach_both_sigs(cand, sigs, "simhash", pa.uint64())
-    verified = joined.map_batches(
+    verified_ds = joined.map_batches(
         functools.partial(_verify_simhash_batch, max_hamming=max_hamming),
         batch_format="pyarrow",
-    ).to_pandas()
-    comp = _connected_components(
-        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
     )
-    return _labeled_output(sigs, comp)
+    return _cluster_output(sigs, verified_ds, components)
 
 
 def _verify_simhash_batch(t: pa.Table, max_hamming: int) -> pa.Table:
@@ -729,17 +743,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def jaccard_cluster_reps(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+def jaccard_cluster_reps(
+    sf_dir: str, threshold: float = 0.5, components: str = "driver"
+) -> pd.DataFrame:
     """(doc_id, cluster_rep) from connected components over the EXACT
     jaccard pair graph — end-to-end dedup whose clustering itself is
     SQL-oracle-checked (recursive min-label CTE in DuckDB)."""
     _check_threshold(threshold)
     ver, sh = _exact_jaccard_pairs_ds(sf_dir, threshold)
-    pairs = ver.to_pandas()  # verified pairs only (CC input, ≪ corpus)
-    comp = _connected_components(
-        [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
-    )
-    return _labeled_output(sh, comp)
+    return _cluster_output(sh, ver.select_columns(["a", "b"]), components)
 
 
 # Shared SQL fragment: the perturbed-doubled corpus + per-doc distinct
@@ -1254,7 +1266,7 @@ def _md5_28(grams: list[str]) -> np.ndarray:
     )
 
 
-def minhash_dedup_checked(sf_dir: str) -> pd.DataFrame:
+def minhash_dedup_checked(sf_dir: str, components: str = "driver") -> pd.DataFrame:
     """(doc_id, cluster_rep) over the perturbed-doubled corpus via the
     SQL-reproducible MinHash+LSH stack (see block comment above). Same
     distributed shape as ``minhash_dedup`` — bands → partitioned pair
@@ -1297,11 +1309,8 @@ def minhash_dedup_checked(sf_dir: str) -> pd.DataFrame:
         keep = pa.array((A == B).sum(axis=1) * 2 >= _MHC_NPERM)
         return t.select(["a", "b"]).filter(keep).cast(schema)
 
-    verified = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
-    comp = _connected_components(
-        [(int(x), int(y)) for x, y in zip(verified["a"], verified["b"])]
-    )
-    return _labeled_output(sigs, comp)
+    verified_ds = joined.map_batches(verify, batch_format="pyarrow")
+    return _cluster_output(sigs, verified_ds, components)
 
 
 def _mhc_sql() -> str:

@@ -183,13 +183,13 @@ def ahash64(img: np.ndarray) -> np.uint64:
 
 
 def image_near_dup(
-    n_images: int = 300, max_hamming: int = 3, seed: int = 5
+    n_images: int = 300, max_hamming: int = 3, seed: int = 5, components: str = "driver"
 ) -> pd.DataFrame:
     """(doc_id, cluster_rep) over a synthetic image corpus doubled with
     mildly noised copies (id + DUP_OFFSET): aHash signature per image →
     simhash-style 4×16 banding (lossless for hamming ≤ 3) → partitioned
     signature joins → exact popcount verify → connected components."""
-    from data_quality_ray.pipelines.dedup import _connected_components, _labeled_output
+    from data_quality_ray.pipelines.dedup import _cluster_output
     from data_quality_ray.stages.multimodal import decode_image, synth_images
 
     tbl = synth_images(n_images, seed=seed)
@@ -241,14 +241,11 @@ def image_near_dup(
 
     cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
     joined = _attach_both_sigs(cand, sigs, "simhash", pa.uint64())
-    verified = joined.map_batches(
+    verified_ds = joined.map_batches(
         functools.partial(_verify_simhash_batch, max_hamming=max_hamming),
         batch_format="pyarrow",
-    ).to_pandas()
-    comp = _connected_components(
-        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
     )
-    return _labeled_output(sigs, comp)
+    return _cluster_output(sigs, verified_ds, components)
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +254,11 @@ def image_near_dup(
 
 
 def video_near_dup(
-    n_videos: int = 120, max_hamming: int = 3, min_frame_match: float = 0.75, seed: int = 9
+    n_videos: int = 120,
+    max_hamming: int = 3,
+    min_frame_match: float = 0.75,
+    seed: int = 9,
+    components: str = "driver",
 ) -> pd.DataFrame:
     """(doc_id, cluster_rep) over a synthetic video corpus doubled with
     noised copies: a video's signature is its SET of per-frame aHashes
@@ -266,7 +267,7 @@ def video_near_dup(
     hamming ≤ 3); verification matches frames pairwise by popcount and
     requires ≥ ``min_frame_match`` of frames to find a ≤-hamming partner.
     Same distributed pair machinery as the text/image/audio families."""
-    from data_quality_ray.pipelines.dedup import _connected_components, _labeled_output
+    from data_quality_ray.pipelines.dedup import _cluster_output
     from data_quality_ray.stages.multimodal import synth_videos
 
     tbl = synth_videos(n_videos, seed=seed)
@@ -345,8 +346,5 @@ def video_near_dup(
 
     cand = _candidate_pairs_ds(sigs.map_batches(bands, batch_format="pyarrow"))
     joined = _attach_both_sigs(cand, sigs, "fh", pa.list_(pa.uint64()))
-    verified = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
-    comp = _connected_components(
-        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
-    )
-    return _labeled_output(sigs, comp)
+    verified_ds = joined.map_batches(verify, batch_format="pyarrow")
+    return _cluster_output(sigs, verified_ds, components)

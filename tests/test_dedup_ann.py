@@ -292,3 +292,25 @@ def test_video_near_dup_clusters_noised_copies(_ray):
     hits = [rep[i + dedup.DUP_OFFSET] == rep[i] for i in orig]
     assert len(hits) == 60
     assert float(np.mean(hits)) >= 0.8, f"only {np.mean(hits):.0%} noised videos clustered"
+
+
+def test_cluster_output_modes_equivalent_across_ops(_ray):
+    """Every near-dup operator that routes through ``_cluster_output`` must
+    give identical clusters under the dataset-native CC mode (the 100-TB
+    path) as under driver union-find. simhash and jaccard exercise the text
+    family; image exercises the multimodal callers of the shared helper."""
+    from data_quality_ray.pipelines import multimodal_dedup as md
+
+    for fn, kwargs in [
+        (dedup.simhash_dedup, {"sf_dir": SF_DIR}),
+        (dedup.jaccard_cluster_reps, {"sf_dir": SF_DIR}),
+        (md.image_near_dup, {"n_images": 120}),
+    ]:
+        base = fn(**kwargs)
+        via_ds = fn(**kwargs, components="dataset")
+        assert via_ds.equals(base), f"{fn.__name__}: dataset CC diverged"
+
+
+def test_cluster_output_rejects_unknown_mode(_ray):
+    with pytest.raises(ValueError, match="unknown components mode"):
+        dedup.simhash_dedup(SF_DIR, components="bogus")

@@ -1,11 +1,14 @@
 """Rehearse the driver's correctness gate locally.
 
-Runs ``entry()`` plus every ``queries()`` entry at the given sf, compares
-each against its ``oracle_sql()`` in DuckDB exactly (the CORRECTNESS_r{N}
-check), and requires rows-only queries to return rows. Owns a local Ray
-session (the real driver inits Ray itself before importing __ray_entry__).
+Runs ``entry()`` plus every ``queries()`` entry at the given sf(s),
+compares each against its ``oracle_sql()`` in DuckDB exactly (the
+CORRECTNESS_r{N} check), and requires rows-only queries to return rows.
+Owns a local Ray session (the real driver inits Ray itself before
+importing __ray_entry__). With no args it rehearses BOTH sf0.001 and
+sf0.01 in the one cold session (the round-3 gate) and flags any query
+slower than the 60 s per-query budget.
 
-Usage:  python tools/driver_rehearsal.py [/root/testdata/sf0.01]
+Usage:  python tools/driver_rehearsal.py [sf_dir ...]
 """
 
 from __future__ import annotations
@@ -23,24 +26,14 @@ TABLES = [
 ]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+PER_QUERY_BUDGET_S = 60.0
 
-    import ray
 
-    from data_quality_ray.session import init_local_session
-
-    init_local_session()
-
+def rehearse_sf(em, sf_dir: str) -> tuple[list[str], list[str]]:
+    """Run every query at one sf; returns (fails, over_budget)."""
     import duckdb
     import numpy as np
     import pandas as pd
-
-    import __ray_entry__ as em
-
-    t0 = time.time()
-    n = em.entry().count()
-    print(f"entry(): rows={n} ({time.time() - t0:.1f}s)")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -49,6 +42,7 @@ def main() -> int:
         )
     qs, sqls = em.queries(), em.oracle_sql()
     fails: list[str] = []
+    slow: list[str] = []
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -72,13 +66,44 @@ def main() -> int:
             elif len(out) == 0:
                 status = "EMPTY"
                 fails.append(name)
-            print(f"  {name:28s} rows={len(out):6d} {status} ({time.time() - t0:.1f}s)")
+            dt = time.time() - t0
+            if dt > PER_QUERY_BUDGET_S:
+                slow.append(f"{name} ({dt:.0f}s)")
+            print(f"  {name:28s} rows={len(out):6d} {status} ({dt:.1f}s)")
         except Exception as e:  # noqa: BLE001 — rehearsal must report, not die
             fails.append(name)
             print(f"  {name:28s} ERROR {type(e).__name__}: {e}")
-    print(f"{len(qs)} queries, {len(sqls)} SQL-matched; fails: {fails or 'none'}")
+    print(
+        f"[{os.path.basename(sf_dir)}] {len(qs)} queries, {len(sqls)} SQL-matched; "
+        f"fails: {fails or 'none'}; over-budget: {slow or 'none'}"
+    )
+    return fails, slow
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+    import ray
+
+    from data_quality_ray.session import init_local_session
+
+    init_local_session()
+
+    import __ray_entry__ as em
+
+    t0 = time.time()
+    n = em.entry().count()
+    print(f"entry(): rows={n} ({time.time() - t0:.1f}s)")
+
+    all_fails: list[str] = []
+    for sf_dir in sf_dirs:
+        print(f"=== {sf_dir} ===")
+        fails, slow = rehearse_sf(em, sf_dir)
+        all_fails += [f"{os.path.basename(sf_dir)}:{f}" for f in fails]
+        all_fails += [f"{os.path.basename(sf_dir)}:SLOW:{s}" for s in slow]
+    print(f"TOTAL fails: {all_fails or 'none'}")
     ray.shutdown()
-    return 1 if fails else 0
+    return 1 if all_fails else 0
 
 
 if __name__ == "__main__":
