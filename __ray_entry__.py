@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": relational_ext.events_user_hll,
         "events_value_quantiles": relational_ext.events_value_quantiles,
         "events_value_k_corr": relational_ext.events_value_k_corr,
+        "events_value_ntile": relational_ext.events_value_ntile,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms_cms": documents.doc_top_terms_cms,
         "doc_length_histogram": documents.doc_length_histogram,
         "train_char_lm_counts": documents.train_char_lm_counts,
+        "train_quality_reg_stats": documents.train_quality_reg_stats,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_hour": relational_ext.EVENTS_TRAILING_HOUR_SQL,
         "events_value_quantiles": relational_ext.EVENTS_VALUE_QUANTILES_SQL,
         "events_value_k_corr": relational_ext.EVENTS_VALUE_K_CORR_SQL,
+        "events_value_ntile": relational_ext.EVENTS_VALUE_NTILE_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
@@ -274,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": documents.DOC_TOP_TERMS_SQL,
         "doc_length_histogram": documents.DOC_LENGTH_HISTOGRAM_SQL,
         "train_char_lm_counts": documents.TRAIN_CHAR_LM_COUNTS_SQL,
+        "train_quality_reg_stats": documents.TRAIN_QUALITY_REG_STATS_SQL,
         "doc_split": f"""
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {TEST_HEX_DIGITS_SQL}

@@ -545,3 +545,89 @@ def document_pipeline(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear-model training via exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+# Long-format term names for the normal-equation sums of the linear model
+# n_chars ~ b0 + b1 * n_ws_tokens (the chars-per-token fit — a corpus-level
+# quality signal; residual outliers are symbol-/boilerplate-heavy docs).
+_REG_TERMS = ["n", "sum_ws", "sum_ws_ws", "sum_y", "sum_ws_y", "sum_y_y"]
+
+
+def train_quality_reg_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact sufficient statistics (X'X, X'y, y'y) for the linear model
+    predicting char count from whitespace-token count — distributed model
+    training as map-side integer partial sums + one tiny reduce, the same
+    mergeable-sketch shape as ``train_char_lm_counts``.
+
+    Both counts are integers (the same regexp-derived values the
+    ``doc_token_stats`` oracle checks), so every sum is exact and
+    order-independent — the full training artifact is SQL-hash-checkable.
+    Bound: per-doc products ≤ ~1e8 (chars ≤ 1e4); int64 partial sums are
+    exact to ~9e10 docs per cross term, far beyond any one corpus shard;
+    DuckDB's HUGEINT promotion never diverges inside that bound.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ws = np.array([len(T.ws_tokens(x)) for x in texts], dtype=np.int64)
+        y = np.array([len(x) for x in texts], dtype=np.int64)
+        sums = [
+            len(texts), ws.sum(), (ws * ws).sum(),
+            y.sum(), (ws * y).sum(), (y * y).sum(),
+        ]
+        return pa.table(
+            {k: pa.array([int(v)], pa.int64()) for k, v in zip(_REG_TERMS, sums)}
+        )
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    totals = ds.sum(on=_REG_TERMS)  # distributed reduce of 6 scalars
+    out = pd.DataFrame(
+        {"term": _REG_TERMS, "value": [int(totals[f"sum({k})"]) for k in _REG_TERMS]}
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def quality_regression_coeffs(sf_dir: str) -> "tuple[np.ndarray, float]":
+    """(coefficients [b0, b1], R²) solved from the distributed sufficient
+    stats — the driver-side step is a 2×2 solve, independent of corpus
+    size."""
+    df = train_quality_reg_stats(sf_dir)
+    s = {k: float(v) for k, v in zip(df["term"], df["value"])}
+    xtx = np.array(
+        [[s["n"], s["sum_ws"]], [s["sum_ws"], s["sum_ws_ws"]]], dtype=np.float64
+    )
+    xty = np.array([s["sum_y"], s["sum_ws_y"]], dtype=np.float64)
+    beta = np.linalg.solve(xtx, xty)
+    ss_tot = s["sum_y_y"] - s["sum_y"] ** 2 / s["n"]
+    ss_res = s["sum_y_y"] - beta @ xty
+    return beta, 1.0 - ss_res / ss_tot
+
+
+TRAIN_QUALITY_REG_STATS_SQL = r"""
+WITH f AS (
+  SELECT len(regexp_extract_all(text, '\S+')) AS ws,
+         length(text) AS y
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS v_n,
+         CAST(sum(ws) AS BIGINT) AS v_sum_ws,
+         CAST(sum(ws * ws) AS BIGINT) AS v_sum_ws_ws,
+         CAST(sum(y) AS BIGINT) AS v_sum_y,
+         CAST(sum(ws * y) AS BIGINT) AS v_sum_ws_y,
+         CAST(sum(y * y) AS BIGINT) AS v_sum_y_y
+  FROM f
+)
+SELECT t.term, CASE t.term
+    WHEN 'n' THEN v_n                 WHEN 'sum_ws' THEN v_sum_ws
+    WHEN 'sum_ws_ws' THEN v_sum_ws_ws WHEN 'sum_y' THEN v_sum_y
+    WHEN 'sum_ws_y' THEN v_sum_ws_y   ELSE v_sum_y_y END AS value
+FROM s, (VALUES ('n'), ('sum_ws'), ('sum_ws_ws'), ('sum_y'), ('sum_ws_y'),
+               ('sum_y_y')) AS t(term)
+ORDER BY t.term
+"""

@@ -949,3 +949,48 @@ SELECT event_type,
          AS corr_xy
 FROM s ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# NTILE window: per-user value quartiles (bucketed ranking)
+# ---------------------------------------------------------------------------
+
+
+def events_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Per event: its NTILE(k) bucket of ``value`` within the user's events.
+
+    Ray shape: ``groupby(user_id).map_groups`` supplies the PARTITION BY;
+    the in-group argsort on (value, event_id) is the ORDER BY; tile
+    assignment is vectorized (DuckDB NTILE semantics: the first n % k
+    tiles hold one extra row). Ties in the float ``value`` are broken by
+    event_id on both sides, so the assignment is deterministic."""
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(), g["value"].to_numpy()))
+        n = len(order)
+        q, r = divmod(n, k)
+        pos = np.arange(n, dtype=np.int64)
+        tile = np.where(
+            pos < r * (q + 1),
+            pos // (q + 1),
+            r + (pos - r * (q + 1)) // max(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy()[order], "tile": tile}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(tiles, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_VALUE_NTILE_SQL = """
+SELECT event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+            AS BIGINT) AS tile
+FROM events ORDER BY event_id
+"""

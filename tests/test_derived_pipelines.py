@@ -73,3 +73,24 @@ def test_sources_registry_roundtrip(ray_session, tmp_path):
         assert back.count() == 100
     with pytest.raises(NotImplementedError):
         sources.read_table("/tmp/nope.lance", "lance")
+
+
+def test_quality_regression_matches_full_lstsq(ray_session):
+    """The distributed sufficient-statistic solve must agree with numpy
+    lstsq on the fully materialized feature matrix (same model, computed
+    the naive single-node way), and explain the corpus well."""
+    import pandas as pd
+
+    from data_quality_ray.functions import text as T
+    from data_quality_ray.pipelines.documents import quality_regression_coeffs
+
+    sf = "/root/testdata/sf0.001"
+    beta, r2 = quality_regression_coeffs(sf)
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    ws = np.array([len(T.ws_tokens(x)) for x in docs["text"]], dtype=np.float64)
+    y = np.array([len(x) for x in docs["text"]], dtype=np.float64)
+    X = np.stack([np.ones_like(ws), ws], axis=1)
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(beta, ref, rtol=1e-8, atol=1e-6)
+    assert r2 > 0.9  # chars-per-token is a tight linear fit on this corpus
