@@ -29,6 +29,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -117,6 +118,20 @@ _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _MIX3 = np.uint64(0x165667B19E3779F9)
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _shingle_mults(k: int) -> "tuple[np.uint64, ...]":
+    """Per-position shingle-mix multipliers (first three match the
+    historical k=3 mix) — cached per k, not rebuilt per document."""
+    with np.errstate(over="ignore"):
+        return tuple(
+            [_MIX1, _MIX2, _MIX3]
+            + [_MIX1 * np.uint64(2 * j + 1) for j in range(3, k)]
+        )
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Hashes of word k-gram shingles (uint64), vectorized.
 
@@ -134,10 +149,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
             for v in th:
                 h = h * _MIX1 ^ np.uint64(v)
         return np.array([h], dtype=np.uint64)
-    # per-position multipliers (first three match the historical k=3 mix)
-    mults = [_MIX1, _MIX2, _MIX3] + [
-        _MIX1 * np.uint64(2 * j + 1) for j in range(3, k)
-    ]
+    mults = _shingle_mults(k)
     n_sh = len(toks) - k + 1
     with np.errstate(over="ignore"):
         sh = th[:n_sh] * mults[0]
@@ -1083,15 +1095,20 @@ def doc_duplicate_spans(
     for training-corpus cleaning).
 
     Shape: window-hash explode (vectorized k-gram mix, one row per distinct
-    (window, doc)) → n_windows via groupby(doc) count → shared-window
-    filter inside hash-partitioned groups (a window's full doc set is
-    co-located by pkey = f(whash), so the ≥2-docs decision is exact and
-    local) → n_shared via groupby(doc) count. The three per-doc datasets
-    (all ids, totals, shared counts) combine via a TAGGED UNION + one
-    distributed ``groupby(doc_id).sum`` — no driver-side corpus-grain
-    merge. With ``output_dir`` the result is written as partitioned
-    parquet and only a head() sample returns; without it, the per-doc
-    frame is the small-sf result contract.
+    (window, doc)); because every doc's windows are produced whole inside
+    one explode batch, the per-doc ``n_windows`` total is FINAL at the
+    producing task — it is emitted as a tagged count row alongside the
+    window rows, so no corpus-wide groupby is spent on totals. The
+    shared-window decision runs inside hash-partitioned groups (a window's
+    full doc set is co-located by pkey = f(whash), so the ≥2-docs test is
+    exact and local) and each group emits per-doc PARTIAL counts
+    (vectorized value_counts), shrinking the last shuffle from
+    window-grain to doc-grain. The three per-doc datasets (all ids,
+    totals, shared partials) combine via a TAGGED UNION + one distributed
+    ``groupby(doc_id).sum`` — no driver-side corpus-grain merge. With
+    ``output_dir`` the result is written as partitioned parquet and only a
+    head() sample returns; without it, the per-doc frame is the small-sf
+    result contract.
 
     For a non-default ``k``, pair with ``doc_duplicate_spans_sql(k)`` —
     the registered oracle constant covers the k=8 default."""
@@ -1099,71 +1116,91 @@ def doc_duplicate_spans(
         raise ValueError(f"window size must be ≥ 2, got {k}")
     docs = _docs(sf_dir)
 
+    # kind 0 = (whash, doc_id) window row; kind 1 = per-doc total, with the
+    # count carried in ``whash`` (the per-doc total is complete here: each
+    # doc's text is tokenized exactly once, in one task)
     def explode(t: pa.Table) -> pa.Table:
         ids_out: list[np.ndarray] = []
         wh_out: list[np.ndarray] = []
         ids = t["doc_id"].to_numpy()
+        counts = np.zeros(len(ids), dtype=np.uint64)
         for i, x in enumerate(t["text"].to_pylist()):
             w = _span_hashes(x, k)
+            counts[i] = len(w)
             if len(w):
                 wh_out.append(w)
                 ids_out.append(np.full(len(w), ids[i], dtype=np.int64))
-        if not wh_out:
-            return pa.schema([("whash", pa.uint64()), ("doc_id", pa.int64())]).empty_table()
+        wh_out.append(counts)
+        ids_out.append(ids.astype(np.int64))
+        kind = np.zeros(sum(len(a) for a in wh_out), dtype=np.int8)
+        kind[-len(ids):] = 1
         return pa.table(
             {
                 "whash": pa.array(np.concatenate(wh_out), pa.uint64()),
                 "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
             }
         )
 
     rows = docs.map_batches(explode, batch_format="pyarrow").materialize()  # reused 2×
 
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
+    from ray.data.aggregate import Sum as _Sum
 
-    def _tag(n_windows_col: str | None, n_shared_col: str | None):
-        # tagged-union shape: every branch emits (doc_id, n_windows, n_shared)
-        def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            zeros = pa.array(np.zeros(n, dtype=np.int64), pa.int64())
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "n_windows": t[n_windows_col].cast(pa.int64()) if n_windows_col else zeros,
-                    "n_shared": t[n_shared_col].cast(pa.int64()) if n_shared_col else zeros,
-                }
-            )
-
-        return fn
-
-    totals = (
-        rows.groupby("doc_id")
-        .aggregate(_Count(alias_name="n_windows"))
-        .map_batches(_tag("n_windows", None), batch_format="pyarrow")
+    _UNION_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int64()), ("n_shared", pa.int64())]
     )
 
+    def totals_rows(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t["kind"], 1))
+        return pa.table(
+            {
+                "doc_id": m["doc_id"],
+                "n_windows": m["whash"].cast(pa.int64()),
+                "n_shared": pa.array(np.zeros(m.num_rows, np.int64), pa.int64()),
+            }
+        ).cast(_UNION_SCHEMA)
+
+    totals = rows.map_batches(totals_rows, batch_format="pyarrow")
+
     def add_pkey(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0)).select(["whash", "doc_id"])
         wh = t["whash"].to_numpy()
         with np.errstate(over="ignore"):
             pk = ((wh * _MIX2) >> np.uint64(33)) % np.uint64(N_PAIR_PARTITIONS)
         return t.append_column("pkey", pa.array(pk.astype(np.int64), pa.int64()))
 
-    def shared_only(g: pd.DataFrame) -> pd.DataFrame:
-        # (whash, doc) rows are distinct → per-whash row count == distinct docs
+    def shared_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # (whash, doc) rows are distinct → per-whash row count == distinct
+        # docs; per-doc counts leave the group pre-aggregated
         keep = g.groupby("whash")["doc_id"].transform("size") >= 2
-        return g.loc[keep, ["doc_id"]]
+        vc = g.loc[keep, "doc_id"].value_counts()
+        return pd.DataFrame(
+            {
+                "doc_id": vc.index.to_numpy(),
+                "n_windows": np.zeros(len(vc), dtype=np.int64),
+                "n_shared": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    def _to_union_schema(t: pa.Table) -> pa.Table:
+        return t.cast(_UNION_SCHEMA)
 
     shared = (
         rows.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
-        .map_groups(shared_only, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(_Count(alias_name="n_shared"))
-        .map_batches(_tag(None, "n_shared"), batch_format="pyarrow")
+        .map_groups(shared_partials, batch_format="pandas")
+        .map_batches(_to_union_schema, batch_format="pyarrow")
     )
 
+    def _ids_only(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        zeros = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "n_windows": zeros, "n_shared": zeros}
+        ).cast(_UNION_SCHEMA)
+
     all_ids = docs.select_columns(["doc_id"]).map_batches(
-        _tag(None, None), batch_format="pyarrow"
+        _ids_only, batch_format="pyarrow"
     )
 
     # one distributed groupby assembles the per-doc result — the driver

@@ -43,10 +43,37 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def _query_ids(sf_dir: str) -> np.ndarray:
     """The N_QUERIES lowest vec_ids, found WITHOUT materializing the table.
 
-    Scale shape: a pruned ``columns=["vec_id"]`` read → per-block partial
-    min-N inside ``map_batches`` → driver merges n_blocks × N_QUERIES ids
-    (tiny). The driver never holds the full id column, let alone vectors.
-    """
+    Fast path: parquet row-group STATISTICS — visit row groups in ascending
+    min(vec_id) order, reading ONLY the ``vec_id`` column of each, and stop
+    as soon as the next group's min cannot beat the Nth-smallest candidate
+    (exact by the stats contract). O(row groups visited) driver work, no
+    Ray job, no vector bytes. Falls back to a distributed per-block min-N
+    scan when stats are missing."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    md = pf.metadata
+    rg0 = md.row_group(0)
+    col_idx = next(
+        i for i in range(rg0.num_columns)
+        if rg0.column(i).path_in_schema.split(".")[0] == "vec_id"
+    )
+    mins = []
+    for r in range(md.num_row_groups):
+        st = md.row_group(r).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            mins = None
+            break
+        mins.append((st.min, r))
+    if mins is not None:
+        best = np.array([], dtype=np.int64)
+        for rg_min, r in sorted(mins):
+            if len(best) >= N_QUERIES and rg_min > best[-1]:
+                break
+            ids = pf.read_row_group(r, columns=["vec_id"])["vec_id"].to_numpy()
+            best = np.sort(np.concatenate([best, ids]))[:N_QUERIES]
+        return best
+
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
 
     def block_min_n(t: pa.Table) -> pa.Table:
