@@ -133,6 +133,13 @@ def _q_video_near_dup(sf_dir: str):
     return video_near_dup(n_videos=120)
 
 
+def _q_clip_vad_stats(sf_dir: str):
+    from data_quality_ray.stages.vad import clip_vad_stats
+
+    out = clip_vad_stats(_clip_dir(sf_dir)).to_pandas()
+    return out.sort_values("clip_id").reset_index(drop=True)
+
+
 def _q_clip_audio_embeddings(sf_dir: str):
     from data_quality_ray.stages.audio_embed import clip_audio_embeddings
 
@@ -206,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": documents.doc_length_histogram,
         "train_char_lm_counts": documents.train_char_lm_counts,
         "train_quality_reg_stats": documents.train_quality_reg_stats,
+        "doc_tfidf_top_terms": documents.doc_tfidf_top_terms,
+        "term_postings": documents.term_postings,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -221,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": embeddings.embedding_near_dup,
         # audio embeddings over the clip table (log-mel actor pool)
         "clip_audio_embeddings": _q_clip_audio_embeddings,
+        # energy VAD + SNR over the clip table (quality gate / trim stats)
+        "clip_vad_stats": _q_clip_vad_stats,
         # multimodal content-level dedup (audio transcodes, image aHash)
         "clip_audio_near_dup": _q_clip_audio_near_dup,
         "image_near_dup": _q_image_near_dup,
@@ -278,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": documents.DOC_LENGTH_HISTOGRAM_SQL,
         "train_char_lm_counts": documents.TRAIN_CHAR_LM_COUNTS_SQL,
         "train_quality_reg_stats": documents.TRAIN_QUALITY_REG_STATS_SQL,
+        "doc_tfidf_top_terms": documents.DOC_TFIDF_TOP_TERMS_SQL,
+        "term_postings": documents.TERM_POSTINGS_SQL,
         "doc_split": f"""
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {TEST_HEX_DIGITS_SQL}

@@ -631,3 +631,174 @@ FROM s, (VALUES ('n'), ('sum_ws'), ('sum_ws_ws'), ('sum_y'), ('sum_ws_y'),
                ('sum_y_y')) AS t(term)
 ORDER BY t.term
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms + inverted index (corpus indexing / relevance surface —
+# the retrieval-side counterpart of doc_top_terms, with exact SQL oracles)
+# ---------------------------------------------------------------------------
+
+_TF_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())])
+
+
+def _doc_term_tf(sf_dir: str) -> "rd.Dataset":
+    """Distinct (doc_id, term, tf) rows — one per document-level term.
+
+    Per-batch Counter keeps the output at document-vocabulary grain (far
+    below token grain for natural text), so the downstream term/doc
+    shuffles move pre-aggregated rows only."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids_out, terms_out, tf_out = [], [], []
+        ids = t["doc_id"].to_numpy()
+        for i, x in enumerate(t["text"].to_pylist()):
+            c = Counter(T.ws_tokens((x or "").lower()))
+            if not c:
+                continue
+            ids_out.extend([int(ids[i])] * len(c))
+            terms_out.extend(c.keys())
+            tf_out.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "term": pa.array(terms_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+            }
+        ).cast(_TF_SCHEMA)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(explode, batch_format="pyarrow")
+
+
+def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-document top-``k`` terms by tf·idf with LINEAR idf = N/df.
+
+    The linear-idf score ``tf · N / df`` keeps the pipeline/oracle contract
+    EXACT: tf·N is exact int64, and a single IEEE double division is
+    correctly rounded, so numpy and DuckDB produce bit-identical scores
+    (a log idf would hinge on cross-library ``ln`` ulps — see the
+    fixed-point rule in pipelines/relational.py). Output columns are all
+    integers/strings: (doc_id, term, tf, df).
+
+    Shape: distinct (doc,term,tf) explode → term-grain
+    ``groupby(term).map_groups`` annotates df onto every row (each term's
+    rows are co-located; no separate df table or join) → doc-grain
+    ``groupby(doc_id).map_groups`` ranks score desc / term asc and keeps
+    ``k``. Two shuffles, both at document-vocabulary grain. Pair a
+    non-default ``k`` with ``doc_tfidf_top_terms_sql(k)``."""
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def with_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = np.int64(len(g))
+        return g
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        score = (g["tf"].to_numpy() * np.int64(n_docs)).astype(np.float64) / g[
+            "df"
+        ].to_numpy().astype(np.float64)
+        g = g.assign(score=score).sort_values(
+            ["score", "term"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(k)[["doc_id", "term", "tf", "df"]]
+
+    out = (
+        _doc_term_tf(sf_dir)
+        .groupby("term")
+        .map_groups(with_df, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def doc_tfidf_top_terms_sql(k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+  WHERE len(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term ASC
+         ) AS rk
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df FROM ranked WHERE rk <= {k}
+ORDER BY doc_id, term
+"""
+
+
+DOC_TFIDF_TOP_TERMS_SQL = doc_tfidf_top_terms_sql()
+
+
+def term_postings(sf_dir: str, min_df: int = 2, sample: int = 20) -> pd.DataFrame:
+    """Inverted index: per term its document frequency and the first
+    ``sample`` posting doc_ids (ascending, comma-joined) — terms with
+    df ≥ ``min_df``.
+
+    Postings are encoded as a string so the driver's column hash stays
+    scalar (list columns don't survive the numpy equality compare).
+    Shape: distinct (doc,term) explode → ONE term-grain groupby; each
+    group emits a single pre-truncated row, so the result is
+    vocabulary-grain. At corpus scale the df-cap/truncation is what
+    bounds hot-term groups (a stopword's postings list is never
+    materialized beyond the group block). Pair non-default params with
+    ``term_postings_sql(min_df, sample)``."""
+
+    def index_group(g: pd.DataFrame) -> pd.DataFrame:
+        df = len(g)
+        if df < min_df:
+            return pd.DataFrame({"term": [], "df": [], "postings": []}).astype(
+                {"term": str, "df": np.int64, "postings": str}
+            )
+        ids = np.sort(g["doc_id"].to_numpy())[:sample]
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "df": np.array([df], dtype=np.int64),
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    out = (
+        _doc_term_tf(sf_dir)
+        .groupby("term")
+        .map_groups(index_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def term_postings_sql(min_df: int = 2, sample: int = 20) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+  WHERE len(trim(text)) > 0
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {sample}), ',')
+         AS postings
+FROM toks
+GROUP BY term
+HAVING count(*) >= {min_df}
+ORDER BY term
+"""
+
+
+TERM_POSTINGS_SQL = term_postings_sql()

@@ -111,3 +111,77 @@ def test_clip_audio_embeddings_over_ray(ray_session, clips_dir_1k):
     norms = ok["embedding"].map(lambda v: float(np.linalg.norm(v)))
     assert np.allclose(norms, 1.0, atol=1e-3)
     assert (~out[~out["decode_ok"]]["embedding"].map(len).astype(bool)).all()
+
+
+# ---------------------------------------------------------------------------
+# Energy VAD / SNR (stages/vad.py)
+# ---------------------------------------------------------------------------
+
+
+class TestVad:
+    def _clip_batch(self, pcms, sr=16_000):
+        import pyarrow as pa
+
+        from data_quality_ray.functions import codecs
+
+        pcms = [np.clip(p * 32767, -32768, 32767).astype(np.int16) for p in pcms]
+        return pa.table(
+            {
+                "clip_id": pa.array(list(range(len(pcms))), pa.int64()),
+                "bytes": pa.array([codecs.encode(p, "pcm16", sr) for p in pcms]),
+                "sr_hz": pa.array([sr] * len(pcms), pa.int32()),
+                "codec": pa.array(["pcm16"] * len(pcms)),
+            }
+        )
+
+    def test_planted_speech_span_is_found(self):
+        from data_quality_ray.stages.vad import vad_stats_batch
+
+        sr = 16_000
+        rng = np.random.default_rng(7)
+        noise = lambda n: 0.0005 * rng.standard_normal(n)
+        tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+        pcm = np.concatenate([noise(sr // 2), tone + noise(sr), noise(int(0.3 * sr))])
+        out = vad_stats_batch(self._clip_batch([pcm])).to_pylist()[0]
+        assert out["decode_ok"]
+        # 1 s of speech inside 1.8 s total → ratio ≈ 5556e-4; trims ≈ 500/300 ms
+        assert abs(out["speech_ratio_e4"] - 5556) < 600
+        assert abs(out["lead_trim_ms"] - 500) <= 40
+        assert abs(out["tail_trim_ms"] - 300) <= 40
+        assert out["snr_db_e2"] > 20 * 100  # tone vs -66 dB noise: SNR ≫ 20 dB
+
+    def test_continuous_tone_is_all_speech(self):
+        # homogeneous always-on clip (no silence gaps): absolute-floor path
+        from data_quality_ray.stages.vad import vad_stats_batch
+
+        sr = 16_000
+        tone = 0.4 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+        out = vad_stats_batch(self._clip_batch([tone])).to_pylist()[0]
+        assert out["speech_ratio_e4"] == 10_000
+        assert out["lead_trim_ms"] == 0 and out["tail_trim_ms"] == 0
+        assert out["snr_db_e2"] == 120 * 100  # no noise frames → capped
+
+    def test_silence_has_zero_speech(self):
+        from data_quality_ray.stages.vad import vad_stats_batch
+
+        pcm = np.zeros(16_000)
+        out = vad_stats_batch(self._clip_batch([pcm])).to_pylist()[0]
+        assert out["n_speech_frames"] == 0
+        assert out["speech_ratio_e4"] == 0
+        assert out["lead_trim_ms"] == out["n_frames"] * 20  # trim everything
+
+    def test_undecodable_clip_flagged_not_fatal(self):
+        import pyarrow as pa
+
+        from data_quality_ray.stages.vad import vad_stats_batch
+
+        bad = pa.table(
+            {
+                "clip_id": pa.array([0], pa.int64()),
+                "bytes": pa.array([b"\x00\x01"]),
+                "sr_hz": pa.array([16_000], pa.int32()),
+                "codec": pa.array(["wav"]),  # truncated WAV → decode None
+            }
+        )
+        out = vad_stats_batch(bad).to_pylist()[0]
+        assert not out["decode_ok"] and out["n_frames"] == 0
