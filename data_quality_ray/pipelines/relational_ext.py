@@ -988,9 +988,15 @@ def events_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-EVENTS_VALUE_NTILE_SQL = """
+def events_value_ntile_sql(k: int = 4) -> str:
+    """Oracle generated from the SAME ``k`` as the pipeline (invariant:
+    parameterized queries never hand-edit one side)."""
+    return f"""
 SELECT event_id,
-       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+       CAST(ntile({k}) OVER (PARTITION BY user_id ORDER BY value, event_id)
             AS BIGINT) AS tile
 FROM events ORDER BY event_id
 """
+
+
+EVENTS_VALUE_NTILE_SQL = events_value_ntile_sql()
