@@ -140,6 +140,13 @@ def _q_clip_vad_stats(sf_dir: str):
     return out.sort_values("clip_id").reset_index(drop=True)
 
 
+def _q_clip_speech_segments(sf_dir: str):
+    from data_quality_ray.stages.vad import clip_speech_segments
+
+    out = clip_speech_segments(_clip_dir(sf_dir)).to_pandas()
+    return out.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+
+
 def _q_clip_audio_embeddings(sf_dir: str):
     from data_quality_ray.stages.audio_embed import clip_audio_embeddings
 
@@ -232,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_audio_embeddings": _q_clip_audio_embeddings,
         # energy VAD + SNR over the clip table (quality gate / trim stats)
         "clip_vad_stats": _q_clip_vad_stats,
+        # VAD-run explode: per-clip merged speech segments (utterance grain)
+        "clip_speech_segments": _q_clip_speech_segments,
         # multimodal content-level dedup (audio transcodes, image aHash)
         "clip_audio_near_dup": _q_clip_audio_near_dup,
         "image_near_dup": _q_image_near_dup,

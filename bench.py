@@ -144,8 +144,11 @@ def main() -> None:
     doc_in = f"/tmp/bench_docs_{sf_name}"
     os.makedirs(doc_in, exist_ok=True)
     link = os.path.join(doc_in, "documents.parquet")
+    target = os.path.join(sf_dir, "documents.parquet")
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.unlink(link)  # same sf basename, different GRAFT_SF_DIR root
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+        os.symlink(target, link)
     doc_out = f"/tmp/bench_doc_out_{num_cpus}"
     shutil.rmtree(doc_out, ignore_errors=True)
     from data_quality_ray.pipelines.documents import run_document_pipeline

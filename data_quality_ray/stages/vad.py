@@ -109,3 +109,78 @@ def clip_vad_stats(clips_dir: str) -> "object":
     return rd.read_parquet(
         clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
     ).map_batches(vad_stats_batch, batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# Speech-segment extraction (the flat-map explode over the VAD mask):
+# per clip, the merged speech runs as (start_ms, end_ms) training segments —
+# the segmentation step an ASR-corpus pipeline runs between VAD and
+# windowing, so each training example is one contiguous utterance.
+# ---------------------------------------------------------------------------
+
+MERGE_GAP_MS = 100  # bridge pauses shorter than this into one segment
+MIN_SEG_MS = 60  # drop isolated blips shorter than this
+
+
+def speech_runs(mask: np.ndarray) -> "list[tuple[int, int]]":
+    """Merged [start_frame, end_frame) speech runs of one clip's VAD mask.
+
+    Run edges come from one vectorized diff; the merge/min-length pass
+    iterates at RUN grain (a handful per clip), not frame grain."""
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], mask.astype(np.int8), [0]])))
+    raw = list(zip(edges[0::2], edges[1::2]))
+    gap_frames = MERGE_GAP_MS // FRAME_MS
+    merged: list[tuple[int, int]] = []
+    for s, e in raw:
+        if merged and s - merged[-1][1] <= gap_frames:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((int(s), int(e)))
+    min_frames = max(1, MIN_SEG_MS // FRAME_MS)
+    return [(s, e) for s, e in merged if e - s >= min_frames]
+
+
+def segments_batch(batch: pa.Table) -> pa.Table:
+    """(clip_id, bytes, sr_hz, codec) → one row per speech segment:
+    (clip_id, seg_idx, start_ms, end_ms, dur_ms, seg_rms_e6)."""
+    bufs = batch["bytes"].to_pylist()
+    srs = batch["sr_hz"].to_numpy()
+    cods = batch["codec"].to_pylist()
+    ids_out: list[int] = []
+    seg_idx: list[int] = []
+    start_ms: list[int] = []
+    end_ms: list[int] = []
+    rms_e6: list[int] = []
+    ids = batch["clip_id"].to_pylist()
+    for i in range(batch.num_rows):
+        pcm = codecs.decode_tolerant(bufs[i], cods[i], int(srs[i]))
+        if pcm is None:
+            continue
+        rms, speech = vad_frames(pcm, int(srs[i]))
+        for j, (s, e) in enumerate(speech_runs(speech)):
+            ids_out.append(ids[i])
+            seg_idx.append(j)
+            start_ms.append(s * FRAME_MS)
+            end_ms.append(e * FRAME_MS)
+            rms_e6.append(round(1e6 * float(np.sqrt((rms[s:e] ** 2).mean()))))
+    dur = np.asarray(end_ms, dtype=np.int64) - np.asarray(start_ms, dtype=np.int64)
+    return pa.table(
+        {
+            "clip_id": pa.array(ids_out, batch["clip_id"].type),
+            "seg_idx": pa.array(seg_idx, pa.int64()),
+            "start_ms": pa.array(start_ms, pa.int64()),
+            "end_ms": pa.array(end_ms, pa.int64()),
+            "dur_ms": pa.array(dur, pa.int64()),
+            "seg_rms_e6": pa.array(rms_e6, pa.int64()),
+        }
+    )
+
+
+def clip_speech_segments(clips_dir: str) -> "object":
+    """Dataset of per-clip speech segments — a streaming flat-map explode
+    (pruned payload read, no shuffle; output grain = utterances)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
+    ).map_batches(segments_batch, batch_format="pyarrow", batch_size=256)

@@ -170,6 +170,40 @@ class TestVad:
         assert out["speech_ratio_e4"] == 0
         assert out["lead_trim_ms"] == out["n_frames"] * 20  # trim everything
 
+    def test_segments_two_utterances(self):
+        from data_quality_ray.stages.vad import segments_batch
+
+        sr = 16_000
+        rng = np.random.default_rng(11)
+        noise = lambda ms: 0.0004 * rng.standard_normal(int(sr * ms / 1000))
+        tone = lambda ms: 0.5 * np.sin(2 * np.pi * 330 * np.arange(int(sr * ms / 1000)) / sr)
+        # 300ms silence | 400ms speech | 300ms pause (> MERGE_GAP) | 500ms speech
+        pcm = np.concatenate([noise(300), tone(400), noise(300), tone(500)])
+        out = segments_batch(self._clip_batch([pcm])).to_pylist()
+        assert [r["seg_idx"] for r in out] == [0, 1]
+        assert abs(out[0]["start_ms"] - 300) <= 40 and abs(out[0]["dur_ms"] - 400) <= 40
+        assert abs(out[1]["start_ms"] - 1000) <= 40 and abs(out[1]["dur_ms"] - 500) <= 40
+        assert all(r["seg_rms_e6"] > 100_000 for r in out)  # ~0.35 rms tones
+
+    def test_segments_short_pause_merged(self):
+        from data_quality_ray.stages.vad import segments_batch
+
+        sr = 16_000
+        rng = np.random.default_rng(12)
+        noise = lambda ms: 0.0004 * rng.standard_normal(int(sr * ms / 1000))
+        tone = lambda ms: 0.5 * np.sin(2 * np.pi * 330 * np.arange(int(sr * ms / 1000)) / sr)
+        # 80ms pause < MERGE_GAP_MS=100 → ONE merged segment
+        pcm = np.concatenate([noise(200), tone(300), noise(80), tone(300), noise(200)])
+        out = segments_batch(self._clip_batch([pcm])).to_pylist()
+        assert len(out) == 1
+        assert abs(out[0]["dur_ms"] - 680) <= 60
+
+    def test_segments_silence_empty(self):
+        from data_quality_ray.stages.vad import segments_batch
+
+        out = segments_batch(self._clip_batch([np.zeros(16_000)]))
+        assert out.num_rows == 0
+
     def test_undecodable_clip_flagged_not_fatal(self):
         import pyarrow as pa
 
