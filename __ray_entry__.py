@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         documents,
         embeddings,
+        ingest,
         relational,
         relational_ext,
     )
@@ -230,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "jaccard_cluster_reps": dedup.jaccard_cluster_reps,
         "doc_duplicate_spans": dedup.doc_duplicate_spans,
+        # incremental ingest vs a stored fingerprint index (admit/reject)
+        "corpus_ingest": ingest.corpus_ingest,
         # similarity search
         "ann_brute_force": embeddings.ann_brute_force,
         "ann_lsh": embeddings.ann_lsh,
@@ -254,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         documents,
         embeddings,
+        ingest,
         relational,
         relational_ext,
     )
@@ -307,6 +311,7 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "corpus_ingest": ingest.CORPUS_INGEST_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "jaccard_cluster_reps": dedup.JACCARD_CLUSTER_REPS_SQL,
         "doc_duplicate_spans": dedup.DOC_DUPLICATE_SPANS_SQL,
