@@ -156,6 +156,7 @@ def _q_clip_audio_embeddings(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_ray.pipelines import (
+        decontam,
         dedup,
         documents,
         embeddings,
@@ -223,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_quality_reg_stats": documents.train_quality_reg_stats,
         "doc_tfidf_top_terms": documents.doc_tfidf_top_terms,
         "term_postings": documents.term_postings,
+        "doc_repetition_stats": documents.doc_repetition_stats,
+        # benchmark n-gram decontamination (training-data hygiene)
+        "doc_decontaminate": decontam.doc_decontaminate,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -254,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from data_quality_ray.functions.hashing import TEST_HEX_DIGITS_SQL
     from data_quality_ray.pipelines import (
+        decontam,
         dedup,
         documents,
         embeddings,
@@ -304,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
         "train_quality_reg_stats": documents.TRAIN_QUALITY_REG_STATS_SQL,
         "doc_tfidf_top_terms": documents.DOC_TFIDF_TOP_TERMS_SQL,
         "term_postings": documents.TERM_POSTINGS_SQL,
+        "doc_repetition_stats": documents.DOC_REPETITION_STATS_SQL,
+        "doc_decontaminate": decontam.DOC_DECONTAMINATE_SQL,
         "doc_split": f"""
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN {TEST_HEX_DIGITS_SQL}

@@ -802,3 +802,76 @@ ORDER BY term
 
 
 TERM_POSTINGS_SQL = term_postings_sql()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition stats (dup n-grams, top-token mass)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document repetition signals (Rae et al. 2021 "Gopher" rules,
+    word-grain): token count, word-2-gram count, DUPLICATE 2-gram
+    occurrences (total minus distinct), and the occurrence count of the
+    most frequent token. All int64 so the DuckDB oracle hash-matches
+    exactly; the ratio thresholds a filter would apply (e.g. dup_2grams /
+    n_2grams > 0.2) are a trivial driver- or SQL-side predicate on these.
+
+    Shape: one map_batches pass, no shuffle; per-doc Counter/set work is
+    C-level over the same normalized tokens the dedup family uses."""
+    from collections import Counter
+
+    def rep(t: pa.Table) -> pa.Table:
+        ids_out, nt, n2, d2, tt = [], [], [], [], []
+        for i, x in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            tk = T.ws_tokens((x or "").lower())
+            if not tk:
+                continue
+            g = list(zip(tk, tk[1:]))
+            ids_out.append(int(i))
+            nt.append(len(tk))
+            n2.append(len(g))
+            d2.append(len(g) - len(set(g)))
+            tt.append(max(Counter(tk).values()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_2grams": pa.array(n2, pa.int64()),
+                "dup_2grams": pa.array(d2, pa.int64()),
+                "top_token_n": pa.array(tt, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(rep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_REPETITION_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk
+  FROM documents WHERE trim(text) != ''
+),
+tc AS (
+  SELECT doc_id, max(c) AS top_token_n FROM (
+    SELECT doc_id, token, count(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
+    GROUP BY doc_id, token)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS BIGINT)
+           AS n_2grams,
+         CAST(len([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])
+              - len(list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]))
+              AS BIGINT) AS dup_2grams
+  FROM toks
+)
+SELECT b.doc_id, b.n_tokens, b.n_2grams, b.dup_2grams,
+       CAST(tc.top_token_n AS BIGINT) AS top_token_n
+FROM base b JOIN tc USING (doc_id)
+ORDER BY doc_id
+"""
