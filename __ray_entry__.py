@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": embeddings.ann_lsh,
         "ann_ivf": embeddings.ann_ivf,
         "embedding_near_dup": embeddings.embedding_near_dup,
+        # SemDeDup: k-means cells → within-cell cosine prune (rows-only)
+        "semantic_dedup": embeddings.semantic_dedup,
         # audio embeddings over the clip table (log-mel actor pool)
         "clip_audio_embeddings": _q_clip_audio_embeddings,
         # energy VAD + SNR over the clip table (quality gate / trim stats)

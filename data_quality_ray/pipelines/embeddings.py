@@ -265,6 +265,29 @@ def ann_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _noisy_copy(t: pa.Table) -> pa.Table:
+    """Perturbed copies (vec_id + DUP_OFFSET, σ=0.01 noise) — the planted
+    near-dup fixture shared by embedding_near_dup and semantic_dedup.
+
+    Per-ROW seeded noise: a row's draw is a pure function of its vec_id,
+    independent of batch/block boundaries (determinism contract — identical
+    output at any cluster size)."""
+    ids, mat = _batch_matrix(t)
+    noise = np.stack(
+        [np.random.default_rng(int(v) + 977).standard_normal(mat.shape[1]) for v in ids]
+    ) if len(ids) else np.zeros_like(mat)
+    noisy = mat + 0.01 * noise
+    return pa.table(
+        {
+            "vec_id": pa.array(ids + DUP_OFFSET, pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in noisy],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
     """Cosine near-dup pairs on a corpus doubled with slightly-noised copies
     (vec_id + DUP_OFFSET, noise σ=0.01). Returns (a, b) pairs with
@@ -284,27 +307,8 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
         _candidate_pairs_ds,
     )
 
-    def noisy_copy(t: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(t)
-        # per-ROW seeded noise: a row's draw is a pure function of its
-        # vec_id, independent of batch/block boundaries (determinism
-        # contract — identical output at any cluster size)
-        noise = np.stack(
-            [np.random.default_rng(int(v) + 977).standard_normal(mat.shape[1]) for v in ids]
-        ) if len(ids) else np.zeros_like(mat)
-        noisy = mat + 0.01 * noise
-        return pa.table(
-            {
-                "vec_id": pa.array(ids + DUP_OFFSET, pa.int64()),
-                "embedding": pa.array(
-                    [row.astype(np.float32).tolist() for row in noisy],
-                    pa.list_(pa.float32()),
-                ),
-            }
-        )
-
     base = _emb(sf_dir)
-    ds = base.union(base.map_batches(noisy_copy, batch_format="pyarrow"))
+    ds = base.union(base.map_batches(_noisy_copy, batch_format="pyarrow"))
     # one keyed copy of the vectors, reused by buckets + both verify joins
     keyed = ds.map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"], "embedding": t["embedding"]}),
@@ -506,3 +510,89 @@ def ann_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16, n_probe: int = 4) ->
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (cluster → within-cluster prune)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    sf_dir: str, threshold: float = 0.92, n_cells: int = 16
+) -> pd.DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023): k-means-cluster the
+    embedding space, then WITHIN each cluster drop all but one member of
+    every cosine-≥-threshold duplicate group (lowest vec_id survives).
+
+    Corpus = embeddings ∪ planted noisy copies (:func:`_noisy_copy`), so the
+    op always has real work: each copy must be dropped in favor of its
+    source. Returns (vec_id, cluster_rep, keep) for every row, sorted.
+
+    Scale shape: the quantizer is fit on a bounded distributed sample (the
+    IVF machinery); assignment is a vectorized broadcast-centroid map; the
+    only shuffle is ONE groupby(cell) whose groups are the natural unit of
+    SemDeDup's O(m²/k) pairwise step. Per-cluster pairwise work is the
+    method's published cost — for skewed clusters, shrink it by raising
+    ``n_cells`` (the paper's k scales with corpus size). Cross-cluster
+    duplicates are invisible by construction — that recall loss is the
+    documented trade-off of the method itself, and the LSH path
+    (:func:`embedding_near_dup`) is the alternative when pair recall
+    matters more than cost.
+    """
+    base = _emb(sf_dir)
+    ds = base.union(base.map_batches(_noisy_copy, batch_format="pyarrow"))
+
+    n = ds.count()
+    frac = min(1.0, IVF_SAMPLE_SIZE / max(n, 1))
+    sample_df = ds.random_sample(frac, seed=3).to_pandas()
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    cn = _kmeans_fit(sample, min(n_cells, len(sample)))
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-30)
+    cref = ray.put(cn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cn_ = ray.get(cref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        cells = (matn @ cn_.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cells))
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        m = len(ids)
+        # union-find over the ≥-threshold adjacency (ids ascending, so the
+        # root of each component is its lowest vec_id)
+        parent = np.arange(m)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.triu(matn @ matn.T >= threshold, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_rep": ids[roots],
+                "keep": roots == np.arange(m),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

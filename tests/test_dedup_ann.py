@@ -314,3 +314,22 @@ def test_cluster_output_modes_equivalent_across_ops(_ray):
 def test_cluster_output_rejects_unknown_mode(_ray):
     with pytest.raises(ValueError, match="unknown components mode"):
         dedup.simhash_dedup(SF_DIR, components="bogus")
+
+
+def test_semantic_dedup_drops_planted_copies(_ray):
+    out = embeddings.semantic_dedup(SF_DIR)
+    assert len(out) == 2 * N_DOCS and out["vec_id"].is_unique
+    copies = out[out["vec_id"] >= embeddings.DUP_OFFSET]
+    # a noisy copy is cosine ≈ 0.999 to its source: when both land in the
+    # same k-means cell (the common case) the copy must lose to the source
+    merged = copies[copies["cluster_rep"] == copies["vec_id"] - embeddings.DUP_OFFSET]
+    frac = len(merged) / N_DOCS
+    assert frac >= 0.9, f"only {frac:.2%} of planted copies deduped to their source"
+    assert not merged["keep"].any()
+    # sources of merged pairs survive
+    src = out[out["vec_id"].isin(merged["vec_id"] - embeddings.DUP_OFFSET)]
+    assert src["keep"].all()
+    # non-duplicate originals are their own representative
+    originals = out[out["vec_id"] < embeddings.DUP_OFFSET]
+    self_rep = originals[originals["cluster_rep"] == originals["vec_id"]]
+    assert len(self_rep) == N_DOCS  # random gaussians never collide at 0.92
