@@ -106,3 +106,46 @@ def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
     for d in range(1, CMS_DEPTH):
         est = np.minimum(est, cms[d, idx[d]])
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — mergeable membership sketch
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bits per filter (8 KB packed) — fixed so partials OR-merge
+BLOOM_K = 4  # double-hashed probe count → fp ≈ (1-e^{-kn/m})^k
+
+
+def _bloom_probes(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(n, BLOOM_K) bit indices for uint64 keys via Kirsch–Mitzenmacher
+    double hashing; h2 forced odd so probes cycle the whole table."""
+    x = np.ascontiguousarray(keys, dtype=np.uint64)
+    h1 = pd.util.hash_array(x, categorize=False).astype(np.uint64)
+    h2 = pd.util.hash_array(h1, categorize=False).astype(np.uint64) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    idx = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(BLOOM_M)
+    return (idx >> np.uint64(3)).astype(np.int64), (idx & np.uint64(7)).astype(np.uint8)
+
+
+def bloom_empty() -> np.ndarray:
+    return np.zeros(BLOOM_M // 8, dtype=np.uint8)
+
+
+def bloom_add(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    if len(keys):
+        byte_idx, bit_idx = _bloom_probes(keys)
+        np.bitwise_or.at(bits, byte_idx.ravel(), (np.uint8(1) << bit_idx).ravel())
+    return bits
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a | b
+
+
+def bloom_might_contain(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership: True = maybe present, False = DEFINITELY absent."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    byte_idx, bit_idx = _bloom_probes(keys)
+    hit = (bits[byte_idx] >> bit_idx) & np.uint8(1)
+    return hit.all(axis=1).astype(bool)

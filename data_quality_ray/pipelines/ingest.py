@@ -13,6 +13,7 @@ Index layout (append-only, no in-place mutation anywhere):
       deltas/<batch_id>/            one dir per COMMITTED ingest batch
         summary.json                  batch outcome (also the idempotence key)
         bucket=NN/*.parquet           accepted (fingerprint, doc_id) rows
+        bloom.npz                     per-bucket Bloom sidecars (8 KB each)
       .tmp-<batch_id>/              staging — renamed into place atomically
 
 A batch commits by a single atomic directory rename, so a crashed ingest
@@ -24,7 +25,11 @@ Scale shape: fingerprints are md5 of normalized text (identical to
 ``exact_dedup``'s key, so the whole flow is SQL-reproducible); rows are
 hash-bucketed and the index is PARTITION-PRUNED — an ingest reads only
 the ``bucket=NN`` files its batch actually touches, never the whole
-index. The admit decision runs inside ``groupby(bucket)`` groups where a
+index — and BLOOM-PRUNED on top: each delta carries per-bucket Bloom
+sidecars (functions/sketches.py), probed distributed, so delta files
+whose filters definitely exclude every batch fingerprint are skipped
+entirely (a mostly-novel crawl increment reads almost none of the
+index). A delta lacking a sidecar is always read (safe fallback). The admit decision runs inside ``groupby(bucket)`` groups where a
 fingerprint's full history is co-located, so it is exact and local; only
 the ≤3-row status count reaches the driver. At 100 TB the index is still
 one parquet tree; a batch's cost is O(batch + touched buckets).
@@ -40,11 +45,28 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from data_quality_ray.functions import text as T
+from data_quality_ray.functions.sketches import (
+    bloom_add,
+    bloom_empty,
+    bloom_merge,
+    bloom_might_contain,
+)
 
 N_INGEST_BUCKETS = 64
+BLOOM_SIDECAR = "bloom.npz"
+
+
+def _fp_keys(fps: "pa.Array | pa.ChunkedArray | list[str]") -> np.ndarray:
+    """uint64 bloom keys from md5-hex fingerprints (first 16 hex chars —
+    uniform by construction)."""
+    it = fps.to_pylist() if isinstance(fps, (pa.Array, pa.ChunkedArray)) else fps
+    return np.fromiter(
+        (int(f[:16], 16) for f in it), dtype=np.uint64, count=len(it)
+    )
 
 _FP_SCHEMA = pa.schema(
     [
@@ -90,6 +112,77 @@ def _index_paths(index_dir: str, buckets: "list[int]") -> "list[str]":
     return sorted(paths)
 
 
+def _delta_blooms(index_dir: str) -> "dict[str, dict[int, np.ndarray] | None]":
+    """Per-committed-delta bloom sidecars: {delta_id: {bucket: bits}};
+    value ``None`` marks a delta without a sidecar (pre-bloom layout) whose
+    files must be read unconditionally. Driver cost: #deltas × ≤8 KB/bucket."""
+    out: dict[str, dict[int, np.ndarray] | None] = {}
+    for d in sorted(_glob.glob(os.path.join(index_dir, "deltas", "*"))):
+        if not os.path.isdir(d):
+            continue
+        did = os.path.basename(d)
+        side = os.path.join(d, BLOOM_SIDECAR)
+        if not os.path.exists(side):
+            out[did] = None
+            continue
+        with np.load(side) as z:
+            out[did] = {int(k[1:]): z[k] for k in z.files}
+    return out
+
+
+def _bloom_pruned_paths(
+    index_dir: str, fp: "rd.Dataset", buckets: "list[int]"
+) -> "list[str]":
+    """Index files the batch must actually read: bucket pruning AND per-key
+    bloom tests against each delta's sidecar.
+
+    The test is DISTRIBUTED — blooms broadcast once via ``ray.put``, each
+    fingerprint block probes them vectorized and emits only the distinct
+    (delta, bucket) pairs with ≥1 maybe-hit — so the driver never holds the
+    batch's keys; a bloom miss is definite (skips the file), a hit is
+    conservative (reads it). Deltas without a sidecar are always read."""
+    blooms = _delta_blooms(index_dir)
+    if not blooms:
+        return []
+    with_bloom = {d: b for d, b in blooms.items() if b is not None}
+    always = [d for d, b in blooms.items() if b is None]
+    hit_pairs: "set[tuple[str, int]]" = set()
+    if with_bloom:
+        bref = ray.put(with_bloom)
+
+        def probe(t: pa.Table) -> pa.Table:
+            bl = ray.get(bref)
+            keys = _fp_keys(t["fingerprint"])
+            bk = t["bucket"].to_numpy()
+            ds_, bs_ = [], []
+            for did, per_bucket in bl.items():
+                for b in np.unique(bk):
+                    bits = per_bucket.get(int(b))
+                    if bits is None:
+                        continue
+                    if bloom_might_contain(bits, keys[bk == b]).any():
+                        ds_.append(did)
+                        bs_.append(int(b))
+            return pa.table(
+                {"delta": pa.array(ds_, pa.string()), "bucket": pa.array(bs_, pa.int64())}
+            )
+
+        for r in fp.map_batches(probe, batch_format="pyarrow").take_all():
+            hit_pairs.add((r["delta"], int(r["bucket"])))
+
+    paths: list[str] = []
+    for did, b in sorted(hit_pairs):
+        paths += _glob.glob(
+            os.path.join(index_dir, "deltas", did, f"bucket={b}", "*.parquet")
+        )
+    for did in always:
+        for b in buckets:
+            paths += _glob.glob(
+                os.path.join(index_dir, "deltas", did, f"bucket={b}", "*.parquet")
+            )
+    return sorted(paths)
+
+
 def ingest_new_docs(new_docs: "rd.Dataset", index_dir: str, batch_id: str) -> dict:
     """Admit ``new_docs`` (needs doc_id:int64, text:string) against the
     index at ``index_dir``; returns the batch summary.
@@ -107,7 +200,7 @@ def ingest_new_docs(new_docs: "rd.Dataset", index_dir: str, batch_id: str) -> di
 
     fp = new_docs.map_batches(_fingerprint_batch, batch_format="pyarrow").materialize()
     buckets = sorted(int(b) for b in fp.unique("bucket"))  # ≤ N_INGEST_BUCKETS values
-    idx_paths = _index_paths(index_dir, buckets)
+    idx_paths = _bloom_pruned_paths(index_dir, fp, buckets)
     if idx_paths:
         idx = rd.read_parquet(idx_paths, columns=["fingerprint", "bucket"]).map_batches(
             lambda t: pa.table(
@@ -168,6 +261,32 @@ def ingest_new_docs(new_docs: "rd.Dataset", index_dir: str, batch_id: str) -> di
     )
     if summary["accepted"]:
         accepted.write_parquet(tmp_dir, partition_cols=["bucket"])
+
+        # bloom sidecar: fixed-size per-bucket filters so future ingests can
+        # skip this delta's files on a definite miss; partials built
+        # per-block and OR-merged (associative) — ≤ buckets×blocks tiny rows
+        def bloom_partials(t: pa.Table) -> pa.Table:
+            bks = t["bucket"].to_numpy()
+            keys = _fp_keys(t["fingerprint"])
+            bs, blobs = [], []
+            for b in np.unique(bks):
+                bs.append(int(b))
+                blobs.append(bloom_add(bloom_empty(), keys[bks == b]).tobytes())
+            return pa.table(
+                {"bucket": pa.array(bs, pa.int64()), "bits": pa.array(blobs, pa.binary())}
+            )
+
+        merged: dict[int, np.ndarray] = {}
+        for r in accepted.map_batches(bloom_partials, batch_format="pyarrow").take_all():
+            bits = np.frombuffer(r["bits"], dtype=np.uint8)
+            b = int(r["bucket"])
+            merged[b] = bloom_merge(merged[b], bits) if b in merged else bits.copy()
+        np.savez(
+            os.path.join(tmp_dir, BLOOM_SIDECAR),
+            **{f"b{b}": bits for b, bits in merged.items()},
+        )
+    else:
+        np.savez(os.path.join(tmp_dir, BLOOM_SIDECAR))  # definite-empty delta
     with open(os.path.join(tmp_dir, "summary.json"), "w") as f:
         json.dump(summary, f)
     os.makedirs(os.path.join(index_dir, "deltas"), exist_ok=True)

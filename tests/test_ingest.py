@@ -96,3 +96,48 @@ class TestCorpusIngest:
         s = ingest_new_docs(_docs_ds({"doc_id": [5], "text": ["qq"]}), idx, "b9")
         with open(os.path.join(idx, "deltas", "b9", "summary.json")) as f:
             assert json.load(f) == s
+
+
+class TestBloomPruning:
+    def test_disjoint_batch_reads_no_index_files(self, ray_session, tmp_path):
+        from data_quality_ray.pipelines import ingest as I
+
+        idx = str(tmp_path / "idx")
+        I.ingest_new_docs(
+            _docs_ds({"doc_id": [1, 2, 3], "text": ["aa bb", "cc dd", "ee ff"]}),
+            idx,
+            "b1",
+        )
+        # entirely-novel batch: bloom must exclude every delta file
+        novel = _docs_ds({"doc_id": [9, 10], "text": ["xx yy", "pp qq"]})
+        fp = novel.map_batches(I._fingerprint_batch, batch_format="pyarrow").materialize()
+        buckets = sorted(int(b) for b in fp.unique("bucket"))
+        assert I._bloom_pruned_paths(idx, fp, buckets) == []
+        # overlapping batch: its delta/bucket file is selected
+        dup = _docs_ds({"doc_id": [9], "text": ["cc   DD"]})
+        fp2 = dup.map_batches(I._fingerprint_batch, batch_format="pyarrow").materialize()
+        b2 = sorted(int(b) for b in fp2.unique("bucket"))
+        hit = I._bloom_pruned_paths(idx, fp2, b2)
+        assert len(hit) >= 1 and all("deltas/b1/bucket=" in p for p in hit)
+        # end-to-end: admit decisions unchanged by the pruning
+        s = I.ingest_new_docs(dup, idx, "b2")
+        assert s["rejected_existing"] == 1 and s["accepted"] == 0
+
+    def test_sidecarless_delta_always_read(self, ray_session, tmp_path):
+        import os
+
+        from data_quality_ray.pipelines import ingest as I
+
+        idx = str(tmp_path / "idx")
+        I.ingest_new_docs(_docs_ds({"doc_id": [1], "text": ["aa bb"]}), idx, "b1")
+        os.remove(os.path.join(idx, "deltas", "b1", I.BLOOM_SIDECAR))
+        novel = _docs_ds({"doc_id": [2], "text": ["zz ww"]})
+        fp = novel.map_batches(I._fingerprint_batch, batch_format="pyarrow").materialize()
+        buckets = sorted(int(b) for b in fp.unique("bucket"))
+        # pre-bloom layout: the delta's touched-bucket files must be read
+        paths = I._bloom_pruned_paths(idx, fp, buckets)
+        all_b1 = I._index_paths(idx, list(range(I.N_INGEST_BUCKETS)))
+        want = [p for p in all_b1 if any(f"bucket={b}/" in p for b in buckets)]
+        assert paths == want
+        s = I.ingest_new_docs(_docs_ds({"doc_id": [3], "text": ["aa   BB"]}), idx, "b2")
+        assert s["rejected_existing"] == 1

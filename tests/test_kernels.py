@@ -163,3 +163,30 @@ def test_bloom_no_false_negatives_and_low_fp():
     non = np.setdiff1d(rng.choice(10_000_000, 50_000, replace=False), members)[:20_000]
     fp = bloom.contains(non.astype(np.int64)).mean()
     assert fp < 0.05, f"false-positive rate {fp:.3f}"
+
+
+class TestBloomFilter:
+    def test_membership_and_merge(self):
+        import numpy as np
+
+        from data_quality_ray.functions.sketches import (
+            bloom_add,
+            bloom_empty,
+            bloom_merge,
+            bloom_might_contain,
+        )
+
+        rng = np.random.default_rng(5)
+        a_keys = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+        b_keys = rng.integers(0, 2**63, 500, dtype=np.int64).astype(np.uint64)
+        other = rng.integers(0, 2**63, 10000, dtype=np.int64).astype(np.uint64)
+        a = bloom_add(bloom_empty(), a_keys)
+        b = bloom_add(bloom_empty(), b_keys)
+        # no false negatives, merge is union
+        assert bloom_might_contain(a, a_keys).all()
+        m = bloom_merge(a, b)
+        assert bloom_might_contain(m, a_keys).all()
+        assert bloom_might_contain(m, b_keys).all()
+        # false-positive rate near theory: (1-e^{-kn/m})^k, n=1000,k=4,m=65536
+        fp = bloom_might_contain(m, other).mean()
+        assert fp < 0.01, fp
