@@ -201,10 +201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational_ext.q3_shipping_priority,
         "events_trailing_hour": relational_ext.events_trailing_hour,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
+        "doc_weighted_sample": relational_ext.doc_weighted_sample,
         "events_user_hll": relational_ext.events_user_hll,
         "events_value_quantiles": relational_ext.events_value_quantiles,
         "events_value_k_corr": relational_ext.events_value_k_corr,
         "events_value_ntile": relational_ext.events_value_ntile,
+        "events_type_pivot": relational_ext.events_type_pivot,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -300,7 +302,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": relational_ext.EVENTS_VALUE_QUANTILES_SQL,
         "events_value_k_corr": relational_ext.EVENTS_VALUE_K_CORR_SQL,
         "events_value_ntile": relational_ext.EVENTS_VALUE_NTILE_SQL,
+        "events_type_pivot": relational_ext.EVENTS_TYPE_PIVOT_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

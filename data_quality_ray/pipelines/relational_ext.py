@@ -1000,3 +1000,146 @@ FROM events ORDER BY event_id
 
 
 EVENTS_VALUE_NTILE_SQL = events_value_ntile_sql()
+
+
+# ---------------------------------------------------------------------------
+# Pivot / crosstab: per-user event-type counts as fixed columns
+# ---------------------------------------------------------------------------
+
+# The pivot's column set. Pipeline and SQL are BOTH generated from this list
+# (round-2 invariant: shared constants, never hand-synced); an event type in
+# the data but not listed raises rather than silently vanishing.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Crosstab: one row per user, one count column per event type plus a
+    total — the wide layout feature stores want.
+
+    Shape: per-batch conditional counting (a (users × 6)-int partial per
+    block — the map-side combine) → ONE groupby(user_id) summing the fixed
+    columns. The column set is static, so the shuffle payload is dense
+    int64s, never strings; unknown types fail loudly."""
+
+    def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(df["event_type"].unique()) - set(EVENT_TYPES)
+        if unknown:
+            raise ValueError(f"events_type_pivot: unlisted event types {sorted(unknown)}")
+        out = (
+            pd.crosstab(df["user_id"], df["event_type"])
+            .reindex(columns=list(EVENT_TYPES), fill_value=0)
+            .astype("int64")
+        )
+        out.columns = [f"n_{t}" for t in EVENT_TYPES]
+        out["n_total"] = out.sum(axis=1)
+        return out.reset_index().rename(columns={"index": "user_id"})
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+        .map_batches(pivot_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_type_pivot_sql(types: "tuple[str, ...]" = EVENT_TYPES) -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id,
+       {cols},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+EVENTS_TYPE_PIVOT_SQL = events_type_pivot_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, distributed)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 64
+
+
+def doc_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k documents
+    with the smallest Efraimidis–Spirakis keys ``-ln(u)/w`` (w = n_chars+1,
+    so longer docs are proportionally likelier — the "sample training docs
+    by quality weight" primitive).
+
+    ``u`` is not an RNG draw but a pure function of doc_id — the top 52
+    md5 bits as a (0,1) double — so the sample is identical on any cluster
+    and REPRODUCIBLE IN SQL (same hex-prefix parse, same formula, see
+    functions/hashing.py for the md5-determinism discipline).
+
+    Shape: one map over (doc_id, n_chars) computing keys vectorized, a
+    per-block k-smallest partial, and a driver merge of n_blocks×k tiny
+    rows — the same partial-top-k pattern as ann_brute_force; no shuffle,
+    no full sort.
+    """
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["n_chars"].to_numpy().astype(np.float64) + 1.0
+        u = (
+            np.fromiter(
+                (
+                    int(hashlib.md5(str(int(i)).encode()).hexdigest()[:13], 16)
+                    for i in ids
+                ),
+                dtype=np.float64,
+                count=len(ids),
+            )
+            + 0.5
+        ) / float(1 << 52)
+        key = -np.log(u) / w
+        kk = min(k, len(ids))
+        order = np.argsort(key)[:kk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": t["n_chars"].take(pa.array(order)),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sel = parts.nsmallest(k, "key")
+    return (
+        sel[["doc_id", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+
+
+def doc_weighted_sample_sql(k: int = WSAMPLE_K) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              + 0.5) / 4503599627370496.0)
+           / (n_chars + 1.0) AS key
+  FROM documents
+)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY key LIMIT {k}
+"""
+
+
+DOC_WEIGHTED_SAMPLE_SQL = doc_weighted_sample_sql()
