@@ -207,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_k_corr": relational_ext.events_value_k_corr,
         "events_value_ntile": relational_ext.events_value_ntile,
         "events_type_pivot": relational_ext.events_type_pivot,
+        "q5_local_supplier_volume": relational_ext.q5_local_supplier_volume,
+        "events_funnel": relational_ext.events_funnel,
+        "events_cohort_retention": relational_ext.events_cohort_retention,
+        "doc_chars_zscore": relational_ext.doc_chars_zscore,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -303,6 +307,10 @@ def oracle_sql() -> dict[str, str]:
         "events_value_k_corr": relational_ext.EVENTS_VALUE_K_CORR_SQL,
         "events_value_ntile": relational_ext.EVENTS_VALUE_NTILE_SQL,
         "events_type_pivot": relational_ext.EVENTS_TYPE_PIVOT_SQL,
+        "q5_local_supplier_volume": relational_ext.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+        "events_funnel": relational_ext.EVENTS_FUNNEL_SQL,
+        "events_cohort_retention": relational_ext.EVENTS_COHORT_RETENTION_SQL,
+        "doc_chars_zscore": relational_ext.DOC_CHARS_ZSCORE_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,

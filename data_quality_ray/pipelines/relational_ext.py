@@ -1143,3 +1143,385 @@ ORDER BY key LIMIT {k}
 
 
 DOC_WEIGHTED_SAMPLE_SQL = doc_weighted_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier volume: two chained fact-fact joins + 3 broadcast
+# dims (region/nation/supplier), revenue per nation within one region/year
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(
+    sf_dir: str, region: str = "ASIA", year: int = 1996, n_buckets: int = 32
+) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue by nation for orders placed in ``year`` by
+    customers of ``region`` whose line items were ALSO supplied from the
+    customer's own nation.
+
+    Join discipline (the 100-TB contract): region/nation/supplier are
+    dimension-grain → broadcast once via ``ray.put`` (supplier is 10k/SF in
+    TPC-H — if it ever grows fact-grain, fold it into the second bucketed
+    join instead). customer×orders and (orders·cust)×lineitem are fact-fact
+    → each is ONE explicit bucket-co-partitioned hash join (schema-aligned
+    union → groupby(bucket) → vectorized pandas merge per bucket), the same
+    machinery as q3_shipping_priority. Revenue stays int64 e4 fixed-point
+    until the final ≤|nation| rows (oracle-exactness discipline)."""
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    lo_s, hi_s = pa.scalar(lo, pa.timestamp("us")), pa.scalar(hi, pa.timestamp("us"))
+
+    # --- broadcast dimensions (driver reads are dimension-grain only) ---
+    reg = pd.read_parquet(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy()
+    nat = pd.read_parquet(_pq(sf_dir, "nation"))
+    nat_in_region = np.sort(
+        nat.loc[np.isin(nat["n_regionkey"].to_numpy(), rkey), "n_nationkey"].to_numpy()
+    ).astype(np.int32)
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sup = sup.sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (sup["s_suppkey"].to_numpy().astype(np.int64), sup["s_nationkey"].to_numpy().astype(np.int32))
+    )
+    nat_ref = ray.put(nat_in_region)
+
+    def _bucket(key: "pa.ChunkedArray | pa.Array") -> pa.Array:
+        return pc.cast(pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32())
+
+    # --- join 1: customer (in region) ⋈ orders (in year) on custkey ---
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ks = ray.get(nat_ref)
+        m = np.isin(t["c_nationkey"].to_numpy(), ks)
+        t = t.filter(pa.array(m))
+        key = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "bucket": _bucket(key),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "payload": pc.cast(t["c_nationkey"], pa.int64()),  # = c_nat
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "bucket": _bucket(key),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "payload": pc.cast(t["o_orderkey"], pa.int64()),  # = orderkey
+            }
+        )
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo_s) & (pc.field("o_orderdate") < hi_s)),
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    def join_cust_orders(g: pd.DataFrame) -> pa.Table:
+        # emits ARROW so the downstream union with li_rows' arrow blocks is
+        # block-type-homogeneous (mixed pandas/arrow unions fail in Ray 2.49)
+        right = g.loc[g["side"] == 1, ["key", "payload"]].rename(columns={"payload": "c_nat"})
+        left = g.loc[g["side"] == 0, ["key", "payload"]].rename(columns={"payload": "okey"})
+        m = left.merge(right, on="key", how="inner")
+        # re-key the matched orders on orderkey for join 2 (side=1 again)
+        okey = m["okey"].to_numpy(dtype=np.int64, na_value=0)
+        return pa.table(
+            {"key": pa.array(okey, pa.int64()),
+             "bucket": pa.array((okey & (n_buckets - 1)).astype(np.int32)),
+             "side": pa.array(np.ones(len(m), dtype=np.int8)),
+             "c_nat": pa.array(m["c_nat"].to_numpy(dtype=np.int64, na_value=-1), pa.int64()),
+             "rev_e4": pa.array(np.zeros(len(m), dtype=np.int64)),
+             "s_nat": pa.array(np.full(len(m), -1, dtype=np.int64))}
+        )
+
+    ord_cust = (
+        cust.union(orders).groupby("bucket").map_groups(join_cust_orders, batch_format="pandas")
+    )
+
+    # --- join 2: (order, c_nat) ⋈ lineitem on orderkey; supplier lookup ---
+    def li_rows(t: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(sup_ref)
+        sk = t["l_suppkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+        s_nat = np.where(skeys[pos] == sk, snats[pos], -2).astype(np.int64)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        e4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10_000.0)), round_mode="half_up"), pa.int64())
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {"key": key, "bucket": _bucket(key),
+             "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+             "c_nat": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+             "rev_e4": e4, "s_nat": pa.array(s_nat)}
+        )
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        right = g.loc[g["side"] == 1, ["key", "c_nat"]]
+        left = g.loc[g["side"] == 0, ["key", "rev_e4", "s_nat"]]
+        m = left.merge(right, on="key", how="inner")
+        m = m[m["c_nat"] == m["s_nat"]]  # local-supplier condition
+        if m.empty:
+            return pd.DataFrame({"nat": pd.Series([], dtype="int64"),
+                                 "rev_e4": pd.Series([], dtype="int64")})
+        # per-bucket combine: ≤|nation| partial rows leave each bucket
+        out = m.groupby("s_nat", as_index=False)["rev_e4"].sum()
+        return out.rename(columns={"s_nat": "nat"})
+
+    agg = (
+        ord_cust.union(li)
+        .groupby("bucket")
+        .map_groups(join_li, batch_format="pandas")
+        .groupby("nat")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .to_pandas()
+    )
+    names = nat.set_index("n_nationkey")["n_name"]
+    agg["n_name"] = agg["nat"].map(names)
+    agg["revenue"] = ((agg["rev_e4"].to_numpy() + 50) // 100) / 100.0
+    out = agg[["n_name", "revenue"]].sort_values(
+        ["revenue", "n_name"], ascending=[False, True]
+    )
+    return out.reset_index(drop=True)
+
+
+def q5_sql(region: str = "ASIA", year: int = 1996) -> str:
+    return f"""
+SELECT n_name,
+       ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '{year}-01-01'
+  AND o_orderdate < TIMESTAMP '{year + 1}-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = q5_sql()
+
+
+# ---------------------------------------------------------------------------
+# Ordered-sequence funnel: view → click → purchase conversion counts
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """Strict-order funnel: users with a view, users whose first click came
+    AFTER their first view, users whose first purchase came after that first
+    click. One row of three counts — the conversion report.
+
+    Shape: ONE shuffle. Users are hash-sharded (pkey = user_id mod 64 — the
+    partitioned-groupby pattern, each user wholly in one group) and each
+    group computes its min-timestamp chain vectorized in pandas, emitting a
+    3-int partial; the driver sums ≤64 partials. No per-user Python loop,
+    no driver-side event rows."""
+
+    def funnel_partial(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g.loc[g["event_type"] == FUNNEL_STEPS[0]].groupby("user_id")["ts"].min()
+        c = g.loc[g["event_type"] == FUNNEL_STEPS[1], ["user_id", "ts"]].merge(
+            t1.rename("t_prev"), on="user_id"
+        )
+        t2 = c.loc[c["ts"] > c["t_prev"]].groupby("user_id")["ts"].min()
+        p = g.loc[g["event_type"] == FUNNEL_STEPS[2], ["user_id", "ts"]].merge(
+            t2.rename("t_prev"), on="user_id"
+        )
+        t3 = p.loc[p["ts"] > p["t_prev"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {"users_view": [np.int64(len(t1))],
+             "users_click": [np.int64(len(t2))],
+             "users_purchase": [np.int64(len(t3))]}
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pkey", pc.cast(pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())), pa.int32())
+        )
+
+    parts = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(funnel_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts[["users_view", "users_click", "users_purchase"]].sum().to_frame().T
+    return out.astype("int64").reset_index(drop=True)
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS users_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS users_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS users_purchase
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-activity week × week-offset distinct-user matrix
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def events_cohort_retention(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """Classic retention matrix: users bucketed by the ISO week of their
+    FIRST event (cohort), counted distinct in every later week they were
+    active, keyed by offset-in-weeks.
+
+    Shape: ONE shuffle. Same user-sharded groupby as events_funnel; each
+    shard derives (cohort_week, week_offset, user) triples vectorized and
+    emits per-(cohort, offset) partial counts — distinct-exact because a
+    user lives in exactly one shard. Global groupby sums ≤64 tiny partials."""
+
+    def retention_partial(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64")
+        wk = (us // WEEK_US).to_numpy()
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "wk": wk})
+        cw = df.groupby("user_id")["wk"].min().rename("cohort_week")
+        act = df.drop_duplicates().merge(cw, on="user_id")
+        act["week_offset"] = act["wk"] - act["cohort_week"]
+        out = act.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return out.astype({"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"})
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pkey", pc.cast(pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())), pa.int32())
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(retention_partial, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    return (
+        out.astype({"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"})
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = f"""
+WITH f AS (
+  SELECT user_id, CAST(floor(epoch_us(min(ts)) / {WEEK_US}) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(epoch_us(e.ts) / {WEEK_US}) AS BIGINT) - f.cohort_week AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group normalization: z-score of n_chars within each language
+# ---------------------------------------------------------------------------
+
+
+def doc_chars_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-language z-score of document length — the "normalize a feature
+    within its group" primitive (feature engineering / outlier trim).
+
+    Shape: pass 1 computes per-lang (count, Σx, Σx²) via map-side partials →
+    tiny groupby (the sums are EXACT int64 — n_chars² fits comfortably);
+    pass 2 broadcasts the ≤|langs| stats and maps the z-score. The float
+    expression tree (mean = Σx/n; var = Σx²/n − mean²; z = (x−mean)/√var)
+    is replicated VERBATIM in the oracle SQL so IEEE rounding matches
+    bit-for-bit (the k_corr/moment discipline)."""
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(), "x": t["n_chars"].to_numpy()})
+        g = df.groupby("lang")["x"].agg(n="size", s1="sum", s2=lambda v: int((v.to_numpy() ** 2).sum()))
+        g = g.reset_index()
+        return pa.table(
+            {"lang": pa.array(g["lang"], pa.string()),
+             "n": pa.array(g["n"].to_numpy(), pa.int64()),
+             "s1": pa.array(g["s1"].to_numpy(), pa.int64()),
+             "s2": pa.array(g["s2"].to_numpy(), pa.int64())}
+        )
+
+    stats = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "n_chars"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    langs = stats["lang"].to_numpy()
+    n = stats["n"].to_numpy().astype(np.float64)
+    mean = stats["s1"].to_numpy().astype(np.float64) / n
+    var = stats["s2"].to_numpy().astype(np.float64) / n - mean * mean
+    sref = ray.put({l: (m, v) for l, m, v in zip(langs, mean, var)})
+
+    def zmap(t: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        lg = t["lang"].to_pylist()
+        x = t["n_chars"].to_numpy().astype(np.float64)
+        mv = np.array([sm[l] for l in lg], dtype=np.float64)
+        m, v = mv[:, 0], mv[:, 1]
+        z = np.where(v > 0, (x - m) / np.sqrt(np.where(v > 0, v, 1.0)), 0.0)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "z": pa.array(z, pa.float64())}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+        .map_batches(zmap, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_CHARS_ZSCORE_SQL = """
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN (CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                  - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                    * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))) > 0
+            THEN (CAST(d.n_chars AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                 / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                        - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                          * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+            ELSE 0.0 END AS z
+FROM documents d JOIN s ON d.lang = s.lang
+ORDER BY d.doc_id
+"""
