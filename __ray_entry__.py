@@ -154,6 +154,13 @@ def _q_clip_audio_embeddings(sf_dir: str):
     return out.sort_values("clip_id").reset_index(drop=True)
 
 
+def _q_clip_mfcc_features(sf_dir: str):
+    from data_quality_ray.stages.mfcc import clip_mfcc_features
+
+    out = clip_mfcc_features(_clip_dir(sf_dir)).to_pandas()
+    return out.sort_values("clip_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_ray.pipelines import (
         decontam,
@@ -252,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": embeddings.semantic_dedup,
         # audio embeddings over the clip table (log-mel actor pool)
         "clip_audio_embeddings": _q_clip_audio_embeddings,
+        "clip_mfcc_features": _q_clip_mfcc_features,
         # energy VAD + SNR over the clip table (quality gate / trim stats)
         "clip_vad_stats": _q_clip_vad_stats,
         # VAD-run explode: per-clip merged speech segments (utterance grain)

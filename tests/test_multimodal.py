@@ -219,3 +219,68 @@ class TestVad:
         )
         out = vad_stats_batch(bad).to_pylist()[0]
         assert not out["decode_ok"] and out["n_frames"] == 0
+
+
+# ---------------------------------------------------------------------------
+# MFCC featurizer (stages/mfcc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dct_basis_orthonormal():
+    from data_quality_ray.stages.mfcc import dct_ii_orthonormal
+
+    C = dct_ii_orthonormal(13, 40)
+    assert np.allclose(C @ C.T, np.eye(13), atol=1e-12)
+
+
+def test_mfcc_matches_naive_reference():
+    """Strided+batched MFCC equals an independent per-frame loop."""
+    from data_quality_ray.stages.audio_embed import mel_filterbank
+    from data_quality_ray.stages.mfcc import (
+        FRAME, HOP, N_FFT, N_MELS, N_MFCC, PREEMPH, dct_ii_orthonormal, mfcc_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    pcm = rng.standard_normal(16_000 * 2) * 0.1
+    fb = mel_filterbank(n_mels=N_MELS, sr=16_000, n_fft=N_FFT)
+    dct = dct_ii_orthonormal(N_MFCC, N_MELS)
+    got = mfcc_frames(pcm, 16_000, fb, dct)
+
+    # naive reference: explicit pre-emphasis + python frame loop
+    x = np.concatenate(([pcm[0]], pcm[1:] - PREEMPH * pcm[:-1]))
+    win = np.hanning(FRAME)
+    want = []
+    for s in range(0, len(x) - FRAME + 1, HOP):
+        fr = x[s : s + FRAME] * win
+        p = np.abs(np.fft.rfft(fr, n=N_FFT)) ** 2
+        want.append(dct @ np.log(np.maximum(fb @ p, 1e-10)))
+    want = np.array(want)
+    assert got.shape == want.shape == (len(want), N_MFCC)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_mfcc_energy_ordering():
+    """C0 tracks log energy: a loud clip scores higher than a quiet one."""
+    from data_quality_ray.stages.audio_embed import mel_filterbank
+    from data_quality_ray.stages.mfcc import N_FFT, N_MELS, N_MFCC, dct_ii_orthonormal, mfcc_frames
+
+    t = np.arange(16_000) / 16_000
+    base = np.sin(2 * np.pi * 440 * t)
+    fb = mel_filterbank(n_mels=N_MELS, sr=16_000, n_fft=N_FFT)
+    dct = dct_ii_orthonormal(N_MFCC, N_MELS)
+    loud = mfcc_frames(0.5 * base, 16_000, fb, dct).mean(axis=0)
+    quiet = mfcc_frames(0.005 * base, 16_000, fb, dct).mean(axis=0)
+    assert loud[0] > quiet[0]
+
+
+def test_clip_mfcc_features_over_ray(ray_session, clips_dir_1k):
+    from data_quality_ray.stages.mfcc import N_MFCC, clip_mfcc_features
+
+    out = clip_mfcc_features(clips_dir_1k).to_pandas()
+    assert len(out) == 1000
+    ok = out[out["decode_ok"]]
+    assert len(ok) > 900
+    assert (ok["mfcc_mean"].map(len) == N_MFCC).all()
+    assert (ok["mfcc_std"].map(len) == N_MFCC).all()
+    assert ok["mfcc_std"].map(lambda v: float(np.max(v))).gt(0).all()
+    assert (~out[~out["decode_ok"]]["mfcc_mean"].map(len).astype(bool)).all()
