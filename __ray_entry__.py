@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational_ext.events_funnel,
         "events_cohort_retention": relational_ext.events_cohort_retention,
         "doc_chars_zscore": relational_ext.doc_chars_zscore,
+        "events_hourly_locf": relational_ext.events_hourly_locf,
+        "events_type_cooccurrence": relational_ext.events_type_cooccurrence,
+        "events_key_skew": relational_ext.events_key_skew,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -319,6 +322,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": relational_ext.EVENTS_FUNNEL_SQL,
         "events_cohort_retention": relational_ext.EVENTS_COHORT_RETENTION_SQL,
         "doc_chars_zscore": relational_ext.DOC_CHARS_ZSCORE_SQL,
+        "events_hourly_locf": relational_ext.EVENTS_HOURLY_LOCF_SQL,
+        "events_type_cooccurrence": relational_ext.EVENTS_TYPE_COOCCURRENCE_SQL,
+        "events_key_skew": relational_ext.EVENTS_KEY_SKEW_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,

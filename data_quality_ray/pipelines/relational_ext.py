@@ -1525,3 +1525,210 @@ SELECT d.doc_id, d.lang,
 FROM documents d JOIN s ON d.lang = s.lang
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Timeseries gap-fill: per-user hourly grid with last-observation carry-fwd
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+# composite-key span: user-rank*2^42 + (ts - t0) — 2^42 µs ≈ 51 days covers
+# the events table's range; asserted per shard, never assumed
+TS_SPAN_BITS = 42
+
+
+def events_hourly_locf(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """Regularize each user's event stream onto an hourly grid, carrying the
+    most recent ``value`` forward (LOCF) — the resample step that precedes
+    any fixed-step timeseries model.
+
+    Grid: hours from floor(first event) to floor(last event) per user; the
+    value at hour h is the latest event with ts < (h+1)h, ties on identical
+    timestamps broken by largest event_id (mirrored in the oracle's ASOF
+    dedup). Shape: ONE user-sharded shuffle; inside a shard the fill is a
+    single composite-key searchsorted (rank·2^42 + Δts) across ALL users at
+    once — no per-user Python loop."""
+
+    def locf_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        us = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        val = g["value"].to_numpy()
+        uids, starts = np.unique(us, return_index=True)
+        ends = np.append(starts[1:], len(us))
+        t0 = ts.min()
+        span = ts.max() - t0
+        if span >= (1 << TS_SPAN_BITS):
+            raise ValueError(
+                f"events_hourly_locf: ts span {span}us exceeds 2^{TS_SPAN_BITS}; "
+                "widen TS_SPAN_BITS (range check, never silent wrap)"
+            )
+        rank = np.searchsorted(uids, us)
+        # grid hours per user
+        h0 = ts[starts] // HOUR_US
+        h1 = ts[ends - 1] // HOUR_US
+        counts = (h1 - h0 + 1).astype(np.int64)
+        gu = np.repeat(np.arange(len(uids)), counts)  # user rank per grid row
+        gh = np.concatenate([np.arange(a, b + 1) for a, b in zip(h0, h1)]) if len(uids) else np.array([], dtype=np.int64)
+        # event composite keys (sorted); grid boundary = end of hour
+        ev_key = rank * (1 << TS_SPAN_BITS) + (ts - t0)
+        q_key = gu * (1 << TS_SPAN_BITS) + np.minimum(
+            (gh + 1) * HOUR_US - 1 - t0, (1 << TS_SPAN_BITS) - 1
+        )
+        pos = np.searchsorted(ev_key, q_key, side="right") - 1
+        # grid start ≥ first event's hour ⇒ pos lands inside the same user
+        return pd.DataFrame(
+            {"user_id": uids[gu], "hour": gh.astype("int64"), "value": val[pos]}
+        )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "pkey": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())), pa.int32()
+                ),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(locf_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+EVENTS_HOURLY_LOCF_SQL = f"""
+WITH e2 AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+  FROM events
+), e3 AS (
+  SELECT user_id, ts_us, value FROM e2 WHERE rn = 1
+), b AS (
+  SELECT user_id,
+         CAST(floor(min(ts_us) / {HOUR_US}) AS BIGINT) AS h0,
+         CAST(floor(max(ts_us) / {HOUR_US}) AS BIGINT) AS h1
+  FROM e3 GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM b
+)
+SELECT g.user_id, g.hour, e3.value
+FROM g ASOF JOIN e3
+  ON g.user_id = e3.user_id AND (g.hour + 1) * {HOUR_US} - 1 >= e3.ts_us
+ORDER BY g.user_id, g.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence: event-type pairs sharing a user (market-basket association)
+# ---------------------------------------------------------------------------
+
+
+def events_type_cooccurrence(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """For every unordered pair of event types, how many users did both —
+    the association-mining primitive. ONE user-sharded shuffle: each shard
+    dedups (user, type), self-merges per user (type_a < type_b, a ≤k² blowup
+    over a TINY vocabulary), and emits per-pair partials; distinct-exact
+    because a user lives in one shard."""
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return out.rename(columns={"event_type_x": "type_a", "event_type_y": "type_b"}).astype(
+            {"n_users": "int64"}
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pkey", pc.cast(pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())), pa.int32())
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(pair_partial, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    return (
+        out.astype({"n_users": "int64"})
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_TYPE_COOCCURRENCE_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics: the shuffle-planning report (hot-key detection)
+# ---------------------------------------------------------------------------
+
+
+def events_key_skew(sf_dir: str) -> pd.DataFrame:
+    """One-row skew report over the events shuffle key (user_id): key count,
+    total rows, max/min per-key load and an integer skew factor
+    (max·1000·n_keys // total = 1000 × max/mean). This is the diagnostic a
+    100-TB run consults before choosing salt factors — map-side count
+    partials → one small groupby → 4 scalar aggregates; all-integer so the
+    oracle hash is exact."""
+    from ray.data.aggregate import Max, Min
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy()})
+        g = df.groupby("user_id", as_index=False).agg(cnt=("user_id", "size"))
+        return pa.table(
+            {"user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+             "cnt": pa.array(g["cnt"].to_numpy(), pa.int64())}
+        )
+
+    counts = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    stats = counts.aggregate(
+        Count(alias_name="n_keys"),
+        Sum("cnt", alias_name="total"),
+        Max("cnt", alias_name="max_cnt"),
+        Min("cnt", alias_name="min_cnt"),
+    )
+    n_keys = int(stats["n_keys"]); total = int(stats["total"])
+    mx = int(stats["max_cnt"]); mn = int(stats["min_cnt"])
+    return pd.DataFrame(
+        {"n_keys": [n_keys], "total": [total], "max_cnt": [mx], "min_cnt": [mn],
+         "skew_x1000": [mx * 1000 * n_keys // total]}
+    ).astype("int64")
+
+
+EVENTS_KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(min(cnt) AS BIGINT) AS min_cnt,
+       CAST(max(cnt) * 1000 * count(*) // sum(cnt) AS BIGINT) AS skew_x1000
+FROM c
+"""
