@@ -161,6 +161,12 @@ def _q_clip_mfcc_features(sf_dir: str):
     return out.sort_values("clip_id").reset_index(drop=True)
 
 
+def _q_train_bpe(sf_dir: str):
+    from data_quality_ray.pipelines.bpe import train_bpe_merges
+
+    return train_bpe_merges(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_ray.pipelines import (
         decontam,
@@ -243,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": documents.doc_repetition_stats,
         # benchmark n-gram decontamination (training-data hygiene)
         "doc_decontaminate": decontam.doc_decontaminate,
+        # distributed BPE tokenizer training (rows-only; pinned to the
+        # sequential reference by tests/test_bpe.py)
+        "train_bpe_merges": _q_train_bpe,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
