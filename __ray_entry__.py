@@ -167,6 +167,12 @@ def _q_train_bpe(sf_dir: str):
     return train_bpe_merges(sf_dir)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    from data_quality_ray.pipelines.bpe import bpe_token_counts
+
+    return bpe_token_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_ray.pipelines import (
         decontam,
@@ -215,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_hour": relational_ext.events_trailing_hour,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
         "doc_weighted_sample": relational_ext.doc_weighted_sample,
+        "doc_balanced_sample": relational_ext.doc_balanced_sample,
         "events_user_hll": relational_ext.events_user_hll,
         "events_value_quantiles": relational_ext.events_value_quantiles,
         "events_value_k_corr": relational_ext.events_value_k_corr,
@@ -252,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed BPE tokenizer training (rows-only; pinned to the
         # sequential reference by tests/test_bpe.py)
         "train_bpe_merges": _q_train_bpe,
+        "bpe_token_counts": _q_bpe_token_counts,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -336,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "events_key_skew": relational_ext.EVENTS_KEY_SKEW_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
+        "doc_balanced_sample": relational_ext.DOC_BALANCED_SAMPLE_SQL,
         "doc_token_stats": documents.DOC_TOKEN_STATS_SQL,
         "doc_fingerprint": documents.DOC_FINGERPRINT_SQL,
         "doc_scrub": documents.doc_scrub_sql(),

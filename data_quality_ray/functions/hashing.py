@@ -191,3 +191,30 @@ class BloomFilter:
         byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
         bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
         return bit.all(axis=0).astype(bool)
+
+
+def md5_u52_column(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Top 52 md5 bits per row as int64 — the deterministic uniform draw
+    shared by doc_weighted_sample and doc_balanced_sample.
+
+    Equals ``int(md5(str(key)).hexdigest()[:13], 16)`` (13 hex chars =
+    52 bits = digest bytes [0,7) >> 4), which is exactly DuckDB's
+    ``CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 13)) AS BIGINT)``
+    — the SQL-parity contract. Batched over one contiguous utf-8 buffer
+    like split_column (no per-row str())."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        import pyarrow.compute as _pc
+
+        arr = _pc.cast(arr, pa.string())
+    data, offsets = _binary_parts(arr)
+    buf = data.tobytes()
+    md5 = hashlib.md5
+    n = len(arr)
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        out[i] = int.from_bytes(md5(buf[offsets[i] : offsets[i + 1]]).digest()[:7], "big") >> 4
+    return out

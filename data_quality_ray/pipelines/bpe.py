@@ -138,6 +138,13 @@ def train_bpe_merges(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns (rank, left, right,
     pair_count) — the tokenizer's merge table, deterministic at any
     parallelism."""
+    merges, _ = _train(sf_dir, n_merges)
+    return merges
+
+
+def _train(sf_dir: str, n_merges: int) -> "tuple[pd.DataFrame, rd.Dataset]":
+    """Internal: returns (merge table, final vocab Dataset with merged
+    symbol lists) so appliers can reuse the trained state."""
 
     def to_symbols(t: pa.Table) -> pa.Table:
         words = t["word"].to_pylist()
@@ -168,9 +175,52 @@ def train_bpe_merges(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
         vocab = vocab.map_batches(
             lambda t, a=a, b=b: _apply_merge(t, a, b), batch_format="pyarrow"
         ).materialize()
-    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
-        {"rank": "int64", "pair_count": "int64"}
+    return (
+        pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
+            {"rank": "int64", "pair_count": "int64"}
+        ),
+        vocab,
     )
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
+    """Apply the trained merges back to the corpus: per-document BPE token
+    counts (doc_id, n_words, n_bpe_tokens) — the "how many tokens is my
+    corpus" accounting every training run starts with.
+
+    The trained vocab is ALREADY the full apply table: every distinct word's
+    final symbol list. Broadcast {word: n_tokens} (vocab-grain, bounded)
+    and the corpus pass is one Counter-lookup map — the corpus is read once
+    for training and once for applying, never shuffled."""
+    import ray
+
+    _, vocab = _train(sf_dir, n_merges)
+    wlen = {
+        w: len(s)
+        for w, s in zip(
+            *(lambda df: (df["word"], df["symbols"]))(vocab.to_pandas())
+        )
+    }
+    wref = ray.put(wlen)
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        wl = ray.get(wref)
+        n_words = np.empty(t.num_rows, dtype=np.int64)
+        n_tok = np.empty(t.num_rows, dtype=np.int64)
+        for i, x in enumerate(t["text"].to_pylist()):
+            toks = T.ws_tokens((x or "").lower())
+            n_words[i] = len(toks)
+            n_tok[i] = sum(wl[w] for w in toks)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_words": pa.array(n_words), "n_bpe_tokens": pa.array(n_tok)}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(count_tokens, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1087,22 +1087,12 @@ def doc_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
     rows — the same partial-top-k pattern as ann_brute_force; no shuffle,
     no full sort.
     """
-    import hashlib
+    from data_quality_ray.functions.hashing import md5_u52_column
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         w = t["n_chars"].to_numpy().astype(np.float64) + 1.0
-        u = (
-            np.fromiter(
-                (
-                    int(hashlib.md5(str(int(i)).encode()).hexdigest()[:13], 16)
-                    for i in ids
-                ),
-                dtype=np.float64,
-                count=len(ids),
-            )
-            + 0.5
-        ) / float(1 << 52)
+        u = (md5_u52_column(t["doc_id"]).astype(np.float64) + 0.5) / float(1 << 52)
         key = -np.log(u) / w
         kk = min(k, len(ids))
         order = np.argsort(key)[:kk]
@@ -1731,4 +1721,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        CAST(min(cnt) AS BIGINT) AS min_cnt,
        CAST(max(cnt) * 1000 * count(*) // sum(cnt) AS BIGINT) AS skew_x1000
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: deterministic per-language rebalance (downsample to the
+# smallest language's share) — the "fix the language mix" pretraining op
+# ---------------------------------------------------------------------------
+
+U52 = 1 << 52  # md5-prefix uniform resolution (13 hex chars)
+
+
+def doc_balanced_sample(sf_dir: str) -> pd.DataFrame:
+    """Downsample every language to (approximately) the smallest language's
+    document count, deterministically: keep doc iff
+    ``u52(md5(doc_id)) < floor(min_cnt · 2^52 / cnt_lang)``.
+
+    The hash-thresholding makes the sample a pure function of doc_id —
+    identical on any cluster, restart-stable, and reproducible in SQL with
+    the same integer arithmetic (thresholds are exact integer floors; the
+    min·2^52 product is computed in Python/HUGEINT, never in wrapping
+    int64). Shape: one tiny per-lang count groupby → broadcast thresholds →
+    one filtering map; no shuffle of the corpus."""
+    from data_quality_ray.functions.hashing import md5_u52_column
+
+    counts = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    min_cnt = int(counts["cnt"].min())
+    # exact integer thresholds (python ints — arbitrary precision)
+    thresholds = {
+        l: (min_cnt * U52) // int(c) for l, c in zip(counts["lang"], counts["cnt"])
+    }
+    tref = ray.put(thresholds)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        u = md5_u52_column(t["doc_id"])
+        lim = np.array([th[l] for l in t["lang"].to_pylist()], dtype=np.int64)
+        return t.filter(pa.array(u < lim))
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_BALANCED_SAMPLE_SQL = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+), t AS (
+  -- min_cnt * 2^52 promotes to HUGEINT in DuckDB: exact, like Python ints
+  SELECT lang, (SELECT min(cnt) FROM c) * {U52} // cnt AS lim FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < t.lim
+ORDER BY d.doc_id
 """

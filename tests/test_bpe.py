@@ -55,3 +55,42 @@ def test_bpe_reference_tie_break_lexicographic():
     m = bpe_reference(["ab ba", "ab ba"], n_merges=1)
     assert (m.iloc[0]["left"], m.iloc[0]["right"]) == ("a", "</w>")
     assert int(m.iloc[0]["pair_count"]) == 2
+
+
+def test_bpe_token_counts_matches_reference_apply(ray_session, tiny_corpus):
+    from collections import Counter
+
+    from data_quality_ray.functions import text as T
+    from data_quality_ray.pipelines import bpe
+
+    sf_dir, texts = tiny_corpus
+    got = bpe.bpe_token_counts(sf_dir, n_merges=8)
+    # sequential apply of the reference merge sequence
+    wc = Counter()
+    for x in texts:
+        wc.update(T.ws_tokens(x.lower()))
+    vocab = {w: list(w) + [bpe.END_OF_WORD] for w in wc}
+    for _, r in bpe.bpe_reference(texts, n_merges=8).iterrows():
+        a, b = r["left"], r["right"]
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    want = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts)),
+            "n_words": [len(T.ws_tokens(x.lower())) for x in texts],
+            "n_bpe_tokens": [
+                sum(len(vocab[w]) for w in T.ws_tokens(x.lower())) for x in texts
+            ],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # merges strictly reduce token counts vs raw chars+marker
+    assert (got["n_bpe_tokens"] < want["n_words"] * 30).all()
