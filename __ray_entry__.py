@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_locf": relational_ext.events_hourly_locf,
         "events_type_cooccurrence": relational_ext.events_type_cooccurrence,
         "events_key_skew": relational_ext.events_key_skew,
+        "events_anomaly_flags": relational_ext.events_anomaly_flags,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_locf": relational_ext.EVENTS_HOURLY_LOCF_SQL,
         "events_type_cooccurrence": relational_ext.EVENTS_TYPE_COOCCURRENCE_SQL,
         "events_key_skew": relational_ext.EVENTS_KEY_SKEW_SQL,
+        "events_anomaly_flags": relational_ext.EVENTS_ANOMALY_FLAGS_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_balanced_sample": relational_ext.DOC_BALANCED_SAMPLE_SQL,

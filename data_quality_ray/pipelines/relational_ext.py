@@ -353,7 +353,7 @@ def events_user_gaps(sf_dir: str) -> pd.DataFrame:
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
             }
         )
 
@@ -730,7 +730,7 @@ def events_trailing_hour(sf_dir: str) -> pd.DataFrame:
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
             }
         )
 
@@ -1575,7 +1575,7 @@ def events_hourly_locf(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
         return pa.table(
             {
                 "user_id": t["user_id"],
-                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
                 "event_id": t["event_id"],
                 "value": t["value"],
                 "pkey": pc.cast(
@@ -1783,4 +1783,83 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN t ON d.lang = t.lang
 WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < t.lim
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming anomaly flags: integer-exact 3σ test over the trailing hour
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_flags(sf_dir: str) -> pd.DataFrame:
+    """Flag events whose value deviates >3σ from the same user's trailing
+    1-hour window (window inclusive of the current row, population σ) — the
+    streaming outlier-detection primitive.
+
+    Exactness: the 3σ test is evaluated as the INTEGER inequality
+    ``(v·n − s1)² > 9·(n·s2 − s1²)`` over cent-scaled values, so pipeline
+    and oracle agree bit-for-bit with no float σ. Overflow contract: terms
+    are bounded by (n·max_v)² — asserted per group against 2^62 (DuckDB
+    raises on BIGINT overflow; we must never silently wrap first).
+    Shape: one user-sharded groupby, trailing sums from prefix cumsums +
+    two searchsorteds (the events_trailing_hour machinery)."""
+    hour_us = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0)), round_mode="half_up"), pa.int64())
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"],
+             # normalize to µs BEFORE int64 (a ns-unit file would otherwise
+             # silently shrink the window 1000×)
+             "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), "v": v}
+        )
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        v = g["v"].to_numpy()
+        lo = np.searchsorted(ts, ts - hour_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        cs1 = np.concatenate(([0], np.cumsum(v)))
+        cs2 = np.concatenate(([0], np.cumsum(v * v)))
+        n = (hi - lo).astype(np.int64)
+        s1 = cs1[hi] - cs1[lo]
+        s2 = cs2[hi] - cs2[lo]
+        bound = int(np.max(np.abs(v), initial=0)) * int(n.max(initial=1))
+        if bound * bound >= (1 << 62):
+            raise ValueError(
+                "events_anomaly_flags: (n·max_v)² would overflow int64; "
+                "rescale values or shrink the window before the math wraps"
+            )
+        lhs = v * n - s1
+        is_anom = (n >= 2) & (lhs * lhs > 9 * (n * s2 - s1 * s1))
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "n_trailing": n, "is_anomaly": is_anom}
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(flags, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ANOMALY_FLAGS_SQL = """
+WITH w AS (
+  SELECT event_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER win AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+              OVER win AS BIGINT) AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, n AS n_trailing,
+       (n >= 2 AND (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
+FROM w ORDER BY event_id
 """

@@ -100,3 +100,40 @@ def test_median_distributed_path_matches_ingroup_and_oracle(_ray):
         b["median_value"].to_numpy().view("int64"),
         exp["median_value"].to_numpy().view("int64"),
     )
+
+
+def test_events_anomaly_flags_planted_outlier(ray_session, tmp_path):
+    """The testdata's uniform values can never exceed 3sigma (bounded
+    support), so the sf oracle check only exercises the all-false branch;
+    this plants a genuine spike and checks BOTH branches vs DuckDB."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_ray.pipelines.relational_ext import (
+        EVENTS_ANOMALY_FLAGS_SQL, events_anomaly_flags,
+    )
+
+    n = 40
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n) * 30, unit="s")
+    vals = np.full(n, 10.00)
+    vals[25] = 500.00  # the spike, well past 3 sigma of its trailing hour
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64), "ts": ts,
+         "user_id": np.int64(7), "event_type": "view", "value": vals,
+         "props": "{}"}
+    )
+    sf = tmp_path / "anom"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet")
+
+    got = events_anomaly_flags(str(sf))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.execute(EVENTS_ANOMALY_FLAGS_SQL).df()
+    assert got["is_anomaly"].to_numpy().astype(bool).tolist() == want[
+        "is_anomaly"
+    ].to_numpy().astype(bool).tolist()
+    assert bool(got.loc[got["event_id"] == 25, "is_anomaly"].iloc[0]) is True
+    assert int(got["is_anomaly"].sum()) >= 1
+    assert not got.loc[got["event_id"] < 25, "is_anomaly"].any()
