@@ -29,6 +29,18 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def ts_us(col) -> "pa.Array":
+    """Timestamp column → int64 MICROseconds, normalizing the unit first.
+
+    A raw ``pc.cast(ts, int64)`` yields whatever unit the file stored (a
+    ns-unit parquet would silently shrink every µs window constant 1000×);
+    every window/join that mixes ts integers with µs constants must go
+    through this."""
+    import pyarrow.compute as _pc
+
+    return _pc.cast(_pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
 def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -573,7 +585,7 @@ def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.Data
         return pa.table(
             {
                 **_user_bucket_cols(t["user_id"].to_numpy(), 0, n_buckets),
-                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "ts_us": ts_us(t["ts"]),
                 "event_id": t["event_id"],
                 "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
             }
@@ -583,7 +595,7 @@ def _events_asof_orders_partitioned(sf_dir: str, n_buckets: int = 32) -> pd.Data
         return pa.table(
             {
                 **_user_bucket_cols(t["o_custkey"].to_numpy(), 1, n_buckets),
-                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "ts_us": ts_us(t["o_orderdate"]),
                 "event_id": pa.array(np.zeros(t.num_rows, np.int64)),
                 "o_orderkey": t["o_orderkey"],
             }

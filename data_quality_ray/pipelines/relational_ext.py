@@ -18,6 +18,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from data_quality_ray.pipelines.relational import ts_us
+
 
 def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -74,7 +76,7 @@ def events_weekly_users(sf_dir: str) -> pd.DataFrame:
     never a driver-side set."""
 
     def week(t: pa.Table) -> pa.Table:
-        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        day = ts_us(t["ts"]).to_numpy() // 86_400_000_000
         wk = day - ((day + 3) % 7)
         return pa.table(
             {"week_day": pa.array(wk, pa.int64()), "user_id": t["user_id"]}
@@ -353,7 +355,7 @@ def events_user_gaps(sf_dir: str) -> pd.DataFrame:
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "ts_us": ts_us(t["ts"]),
             }
         )
 
@@ -523,7 +525,7 @@ def orders_prior_window(sf_dir: str, days: int = 30, n_buckets: int = 32) -> pd.
         return pa.table(
             {
                 **_user_bucket_cols(t["o_custkey"].to_numpy(), None, n_buckets),
-                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "ts_us": ts_us(t["o_orderdate"]),
                 "o_orderkey": t["o_orderkey"],
             }
         )
@@ -624,7 +626,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10) ->
                 ),
                 "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
                 "rev_e4": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "odate_us": ts_us(t["o_orderdate"]),
                 "priority": t["o_orderpriority"],
             }
         )
@@ -730,7 +732,7 @@ def events_trailing_hour(sf_dir: str) -> pd.DataFrame:
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "ts_us": ts_us(t["ts"]),
             }
         )
 
@@ -1391,8 +1393,8 @@ def events_cohort_retention(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
     user lives in exactly one shard. Global groupby sums ≤64 tiny partials."""
 
     def retention_partial(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["ts"].astype("int64")
-        wk = (us // WEEK_US).to_numpy()
+        us = g["ts"].to_numpy("datetime64[us]").astype("int64")  # unit-normalized
+        wk = us // WEEK_US
         df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "wk": wk})
         cw = df.groupby("user_id")["wk"].min().rename("cohort_week")
         act = df.drop_duplicates().merge(cw, on="user_id")
@@ -1575,7 +1577,7 @@ def events_hourly_locf(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
         return pa.table(
             {
                 "user_id": t["user_id"],
-                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "ts_us": ts_us(t["ts"]),
                 "event_id": t["event_id"],
                 "value": t["value"],
                 "pkey": pc.cast(
@@ -1811,7 +1813,7 @@ def events_anomaly_flags(sf_dir: str) -> pd.DataFrame:
             {"event_id": t["event_id"], "user_id": t["user_id"],
              # normalize to µs BEFORE int64 (a ns-unit file would otherwise
              # silently shrink the window 1000×)
-             "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), "v": v}
+             "ts_us": ts_us(t["ts"]), "v": v}
         )
 
     def flags(g: pd.DataFrame) -> pd.DataFrame:
