@@ -121,6 +121,12 @@ def _q_clip_audio_near_dup(sf_dir: str):
     return clip_audio_near_dup(_clip_dir(sf_dir), limit=1000)
 
 
+def _q_clip_fingerprint_matches(sf_dir: str):
+    from data_quality_ray.pipelines.multimodal_dedup import clip_fingerprint_matches
+
+    return clip_fingerprint_matches(_clip_dir(sf_dir), limit=600)
+
+
 def _q_image_near_dup(sf_dir: str):
     from data_quality_ray.pipelines.multimodal_dedup import image_near_dup
 
@@ -287,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_speech_segments": _q_clip_speech_segments,
         # multimodal content-level dedup (audio transcodes, image aHash)
         "clip_audio_near_dup": _q_clip_audio_near_dup,
+        # constellation-fingerprint content matching (offset-voted landmarks)
+        "clip_fingerprint_matches": _q_clip_fingerprint_matches,
         "image_near_dup": _q_image_near_dup,
         "video_near_dup": _q_video_near_dup,
     }

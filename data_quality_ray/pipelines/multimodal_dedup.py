@@ -348,3 +348,172 @@ def video_near_dup(
     joined = _attach_both_sigs(cand, sigs, "fh", pa.list_(pa.uint64()))
     verified_ds = joined.map_batches(verify, batch_format="pyarrow")
     return _cluster_output(sigs, verified_ds, components)
+
+
+# ---------------------------------------------------------------------------
+# Audio: constellation-fingerprint content matching (Wang 2003 landmarks)
+# ---------------------------------------------------------------------------
+
+
+def clip_fingerprint_matches(
+    clips_dir: str,
+    limit: int = 600,
+    min_votes: int = 100,
+    max_hash_group: int = 24,
+    shift_frames: int = 8,
+) -> pd.DataFrame:
+    """(a, b, dt_frames, votes) content matches via landmark fingerprints.
+
+    The third audio-identity signal next to byte hashing and log-mel
+    embeddings: spectral-peak landmark hashes (stages/fingerprint.py) voted
+    by ALIGNMENT — a pair matches when many shared hashes agree on one time
+    offset. Catches a copy that is transcoded AND padded with leading
+    silence (which shifts every frame time, so embedding cosine still
+    matches but byte hashing cannot see the copy at all), and reports the
+    recovered alignment ``dt_frames``.
+
+    Planted corpus (the synthetic table is duplicate-free): each base clip
+    is re-encoded through the next G.711 codec and prefixed with
+    ``shift_frames`` hops of silence, at id + DUP_OFFSET. A planted copy
+    must therefore match its source at exactly dt = +shift_frames.
+
+    Scale shape: fingerprint explode (stateless task map) → groupby(hash)
+    pair generation with hub-hash capping (a hash shared by more than
+    ``max_hash_group`` clips is discriminating nothing — dropped, the
+    standard stop-word treatment) → map-side (a,b,dt) vote combine →
+    groupby(a,b) offset-histogram scoring. Two hash-partitioned shuffles,
+    both over landmark-sized rows (~20 B), never payload bytes.
+
+    Note on precision at sf: the synthetic corpus draws f0 from a 310 Hz
+    interval, so two UNRELATED clips whose tones land in the same FFT bin
+    are spectrally identical at the analysis resolution and can genuinely
+    match — those are reported too (they ARE same-content by this signal).
+    The planted-pair tests use well-separated tones to pin exact behavior.
+    """
+    from data_quality_ray.stages.fingerprint import FP_HOP, fingerprint_batch
+
+    base = rd.read_parquet(
+        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
+    ).limit(limit)
+
+    _NEXT = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, bufs, srs, cods = [], [], [], []
+        for i in range(t.num_rows):
+            sr = int(t["sr_hz"][i].as_py())
+            codec = t["codec"][i].as_py()
+            pcm = codecs.decode_tolerant(t["bytes"][i].as_py(), codec, sr)
+            if pcm is None:
+                continue
+            pad = np.zeros(shift_frames * FP_HOP * sr // 16_000, dtype=pcm.dtype)
+            shifted = np.concatenate([pad, pcm])
+            new_codec = _NEXT.get(codec, "ulaw")
+            pcm16 = np.clip(np.round(shifted * 32767.0), -32768, 32767).astype(np.int16)
+            num = int(str(t["clip_id"][i].as_py()).rsplit("-", 1)[-1]) + DUP_OFFSET
+            ids.append(f"clip-{num:09d}")
+            bufs.append(codecs.encode(pcm16, new_codec, sr))
+            srs.append(sr)
+            cods.append(new_codec)
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "sr_hz": pa.array(srs, pa.int32()),
+                "codec": pa.array(cods, pa.string()),
+            }
+        )
+
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    NP = 64  # partition-key fan-out for both landmark shuffles
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("pkey", pc.bit_wise_and(t["hash"], 63))
+
+    def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One hash-partition → normalized (a, b, dt) votes, map-side
+        combined. ALL group handling is vectorized: rows are sorted by
+        hash, group boundaries found by diff, and index pairs generated
+        per group SIZE (at most max_hash_group distinct sizes), never per
+        group — a per-hash Python loop at ~10^6 distinct landmarks per
+        partition is the difference between seconds and hours."""
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "dt": pd.Series(dtype=np.int32),
+                "w": pd.Series(dtype=np.int64),
+                "pk2": pd.Series(dtype=np.int64),
+            }
+        )
+        h = g["hash"].to_numpy()
+        c = g["clip"].to_numpy()
+        t = g["t"].to_numpy()
+        order = np.lexsort((c, h))
+        h, c, t = h[order], c[order], t[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        lens = np.diff(np.r_[starts, len(h)])
+        aa, bb, dts = [], [], []
+        for s in range(2, max_hash_group + 1):  # hub hashes (> max) dropped
+            gs = starts[lens == s]
+            if len(gs) == 0:
+                continue
+            ii, jj = np.triu_indices(s, k=1)
+            ia = (gs[:, None] + ii[None, :]).ravel()
+            ib = (gs[:, None] + jj[None, :]).ravel()
+            aa.append(c[ia])
+            bb.append(c[ib])
+            dts.append(t[ib] - t[ia])
+        if not aa:
+            return empty
+        a = np.concatenate(aa)
+        b = np.concatenate(bb)
+        dt = np.concatenate(dts).astype(np.int32)
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        dt = np.where(swap, -dt, dt).astype(np.int32)
+        votes = pd.DataFrame({"a": a2, "b": b2, "dt": dt})
+        # map-side combine: collapse identical (a, b, dt) votes before the
+        # pair shuffle
+        out = votes.groupby(["a", "b", "dt"], as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "w"})
+        out["w"] = out["w"].astype(np.int64)
+        out["pk2"] = ((out["a"] * 1_000_003 + out["b"]) % NP).astype(np.int64)
+        return out
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One pair-partition → offset-histogram scores, vectorized:
+        sum votes by (a, b, dt), then keep each pair's best dt (ties →
+        smallest dt) if it clears min_votes."""
+        s = g.groupby(["a", "b", "dt"], as_index=False)["w"].sum()
+        s = s.sort_values(["a", "b", "w", "dt"], ascending=[True, True, False, True])
+        best = s.drop_duplicates(["a", "b"], keep="first")
+        best = best[best["w"] >= min_votes]
+        return pd.DataFrame(
+            {
+                "a": best["a"].to_numpy(np.int64),
+                "b": best["b"].to_numpy(np.int64),
+                "dt_frames": best["dt"].to_numpy(np.int32),
+                "votes": best["w"].to_numpy(np.int64),
+            }
+        )
+
+    keyed = fp.map_batches(add_pkey, batch_format="pyarrow")
+    pairs = keyed.groupby("pkey").map_groups(emit_pairs_part, batch_format="pandas")
+    scored = pairs.groupby("pk2").map_groups(score_part, batch_format="pandas")
+    out = scored.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "dt_frames": pd.Series(dtype=np.int32),
+                "votes": pd.Series(dtype=np.int64),
+            }
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
