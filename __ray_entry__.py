@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": relational_ext.events_type_cooccurrence,
         "events_key_skew": relational_ext.events_key_skew,
         "events_anomaly_flags": relational_ext.events_anomaly_flags,
+        "events_type_sequences": relational_ext.events_type_sequences,
+        "events_daily_streaks": relational_ext.events_daily_streaks,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -352,6 +354,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_cooccurrence": relational_ext.EVENTS_TYPE_COOCCURRENCE_SQL,
         "events_key_skew": relational_ext.EVENTS_KEY_SKEW_SQL,
         "events_anomaly_flags": relational_ext.EVENTS_ANOMALY_FLAGS_SQL,
+        "events_type_sequences": relational_ext.EVENTS_TYPE_SEQUENCES_SQL,
+        "events_daily_streaks": relational_ext.EVENTS_DAILY_STREAKS_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_balanced_sample": relational_ext.DOC_BALANCED_SAMPLE_SQL,

@@ -1865,3 +1865,130 @@ SELECT event_id, n AS n_trailing,
        (n >= 2 AND (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1)) AS is_anomaly
 FROM w ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered aggregation: per-user event-type sequence (string_agg ORDER BY)
+# ---------------------------------------------------------------------------
+
+
+def events_type_sequences(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """Per user, the comma-joined sequence of event types in (ts, event_id)
+    order plus the event count — the ordered-aggregation surface
+    (session-as-string is the standard input to sequence mining). ONE
+    user-sharded shuffle; each shard sorts once and joins per-user slices;
+    the (ts, event_id) tie-break makes the string deterministic, so the
+    oracle hash is exact."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": ts_us(t["ts"]),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "pkey": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def seq_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        out = g.groupby("user_id", sort=True).agg(
+            type_seq=("event_type", ",".join), n_events=("event_type", "size")
+        )
+        out = out.reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    out = (
+        rd.read_parquet(
+            _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(seq_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_TYPE_SEQUENCES_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user
+# ---------------------------------------------------------------------------
+
+
+def events_daily_streaks(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """Per user: count of distinct active days and the longest run of
+    CONSECUTIVE days — the gaps-and-islands pattern (SQL: day −
+    row_number() island key). Day = floor(epoch µs / 86 400 000 000), the
+    same integer on both sides. One user-sharded shuffle; inside a shard
+    the island labels come from one vectorized cumsum over day breaks."""
+    day_us = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = ts_us(t["ts"])
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.divide(us, pa.scalar(day_us, pa.int64())),
+                "pkey": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def streak_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "day"]].drop_duplicates().sort_values(["user_id", "day"])
+        u = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        island = np.cumsum(brk)
+        runs = pd.DataFrame({"user_id": u, "island": island})
+        per_island = runs.groupby(["user_id", "island"], as_index=False).agg(
+            streak=("island", "size")
+        )
+        out = per_island.groupby("user_id", as_index=False).agg(
+            n_days=("streak", "sum"), max_streak=("streak", "max")
+        )
+        return out.astype({"n_days": "int64", "max_streak": "int64"})
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(streak_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_DAILY_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+), r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(streak) AS BIGINT) AS n_days,
+       CAST(max(streak) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id ORDER BY user_id
+"""
