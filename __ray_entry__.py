@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_flags": relational_ext.events_anomaly_flags,
         "events_type_sequences": relational_ext.events_type_sequences,
         "events_daily_streaks": relational_ext.events_daily_streaks,
+        "orders_status_cube": relational_ext.orders_status_cube,
+        "orders_percent_rank": relational_ext.orders_percent_rank,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -356,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_flags": relational_ext.EVENTS_ANOMALY_FLAGS_SQL,
         "events_type_sequences": relational_ext.EVENTS_TYPE_SEQUENCES_SQL,
         "events_daily_streaks": relational_ext.EVENTS_DAILY_STREAKS_SQL,
+        "orders_status_cube": relational_ext.ORDERS_STATUS_CUBE_SQL,
+        "orders_percent_rank": relational_ext.ORDERS_PERCENT_RANK_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_balanced_sample": relational_ext.DOC_BALANCED_SAMPLE_SQL,

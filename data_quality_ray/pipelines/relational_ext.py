@@ -1992,3 +1992,118 @@ SELECT user_id,
        CAST(max(streak) AS BIGINT) AS max_streak
 FROM s GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets: every (status × priority) subset in one pass
+# ---------------------------------------------------------------------------
+
+
+def orders_status_cube(sf_dir: str) -> pd.DataFrame:
+    """Order revenue/count at ALL FOUR grains of (o_orderstatus,
+    o_orderpriority) — GROUP BY CUBE. The base grain is one distributed
+    integer-cents groupby (≤ 3×5 cells); the three marginal grids are
+    re-aggregated from those cells on the driver — partials, never data
+    (same derivation discipline as revenue_rollup, which covers the
+    hierarchical ROLLUP case; CUBE adds the cross-subset lattice)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64")
+        df = pd.DataFrame(
+            {"status": b["o_orderstatus"], "priority": b["o_orderpriority"], "e4": cents}
+        )
+        return df.groupby(["status", "priority"], as_index=False).agg(
+            e4=("e4", "sum"), n_orders=("e4", "size")
+        )
+
+    base = (
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["status", "priority"])
+        .aggregate(Sum("e4", alias_name="e4"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    by_status = base.groupby("status", as_index=False).agg(
+        e4=("e4", "sum"), n_orders=("n_orders", "sum")
+    )
+    by_status["priority"] = "ALL"
+    by_prio = base.groupby("priority", as_index=False).agg(
+        e4=("e4", "sum"), n_orders=("n_orders", "sum")
+    )
+    by_prio["status"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "priority": ["ALL"],
+            "e4": [base["e4"].sum()],
+            "n_orders": [base["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([base, by_status, by_prio, total], ignore_index=True)
+    out["revenue"] = ((out.pop("e4").to_numpy() + 50) // 100) / 100.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["status", "priority", "revenue", "n_orders"]]
+        .sort_values(["status", "priority"])
+        .reset_index(drop=True)
+    )
+
+
+ORDERS_STATUS_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       ((sum(CAST(round(o_totalprice * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# percent_rank window: tie-aware relative rank within a partition
+# ---------------------------------------------------------------------------
+
+
+def orders_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Per order, percent_rank() of o_totalprice within its priority class —
+    the tie-aware relative-rank window ((rank−1)/(n−1), rank() semantics:
+    equal prices share a rank). Exact vs DuckDB because both sides divide
+    the same exact integers in double precision. groupby(priority) →
+    in-group sort + ONE searchsorted for all ranks."""
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        rank = np.searchsorted(sv, v, side="left") + 1  # ties → min rank
+        n = len(v)
+        out = pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "pct_rank": (rank - 1) / (n - 1) if n > 1 else np.zeros(n),
+            }
+        )
+        return out
+
+    out = (
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        .groupby("o_orderpriority")
+        .map_groups(pr, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+           AS pct_rank
+FROM orders ORDER BY o_orderkey
+"""
