@@ -139,6 +139,13 @@ def _q_video_near_dup(sf_dir: str):
     return video_near_dup(n_videos=120)
 
 
+def _q_clip_loudness_stats(sf_dir: str):
+    from data_quality_ray.stages.loudness import clip_loudness_stats
+
+    out = clip_loudness_stats(_clip_dir(sf_dir)).to_pandas()
+    return out.sort_values("clip_id").reset_index(drop=True)
+
+
 def _q_clip_vad_stats(sf_dir: str):
     from data_quality_ray.stages.vad import clip_vad_stats
 
@@ -293,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_mfcc_features": _q_clip_mfcc_features,
         # energy VAD + SNR over the clip table (quality gate / trim stats)
         "clip_vad_stats": _q_clip_vad_stats,
+        # per-clip level stats (peak/RMS/crest/clipping, fixed-point)
+        "clip_loudness_stats": _q_clip_loudness_stats,
         # VAD-run explode: per-clip merged speech segments (utterance grain)
         "clip_speech_segments": _q_clip_speech_segments,
         # multimodal content-level dedup (audio transcodes, image aHash)
