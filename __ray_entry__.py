@@ -121,6 +121,12 @@ def _q_clip_audio_near_dup(sf_dir: str):
     return clip_audio_near_dup(_clip_dir(sf_dir), limit=1000)
 
 
+def _q_clip_content_ingest(sf_dir: str):
+    from data_quality_ray.pipelines.clip_ingest import clip_content_ingest
+
+    return clip_content_ingest(_clip_dir(sf_dir))
+
+
 def _q_clip_fingerprint_matches(sf_dir: str):
     from data_quality_ray.pipelines.multimodal_dedup import clip_fingerprint_matches
 
@@ -306,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_speech_segments": _q_clip_speech_segments,
         # multimodal content-level dedup (audio transcodes, image aHash)
         "clip_audio_near_dup": _q_clip_audio_near_dup,
+        # incremental audio-corpus ingest: landmark-vote content dedup
+        # against a stored append-only index (audio twin of corpus_ingest)
+        "clip_content_ingest": _q_clip_content_ingest,
         # constellation-fingerprint content matching (offset-voted landmarks)
         "clip_fingerprint_matches": _q_clip_fingerprint_matches,
         "image_near_dup": _q_image_near_dup,
