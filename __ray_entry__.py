@@ -121,6 +121,24 @@ def _q_clip_audio_near_dup(sf_dir: str):
     return clip_audio_near_dup(_clip_dir(sf_dir), limit=1000)
 
 
+def _q_clip_utterances(sf_dir: str):
+    from data_quality_ray.stages.augment import utterance_clips
+
+    ds = utterance_clips(_clip_dir(sf_dir)).select_columns(
+        ["clip_id", "sr_hz", "dur_ms", "codec"]  # payloads stay distributed
+    )
+    return ds.to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+
+def _q_clip_speed_perturb(sf_dir: str):
+    from data_quality_ray.stages.augment import speed_perturb_clips
+
+    ds = speed_perturb_clips(_clip_dir(sf_dir)).select_columns(
+        ["clip_id", "sr_hz", "dur_ms", "codec"]
+    )
+    return ds.to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+
 def _q_clip_content_ingest(sf_dir: str):
     from data_quality_ray.pipelines.clip_ingest import clip_content_ingest
 
@@ -310,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_loudness_stats": _q_clip_loudness_stats,
         # VAD-run explode: per-clip merged speech segments (utterance grain)
         "clip_speech_segments": _q_clip_speech_segments,
+        # corpus-building transforms: utterance payload materialization and
+        # Ko-et-al speed-perturbation augmentation (derived clip tables)
+        "clip_utterances": _q_clip_utterances,
+        "clip_speed_perturb": _q_clip_speed_perturb,
         # multimodal content-level dedup (audio transcodes, image aHash)
         "clip_audio_near_dup": _q_clip_audio_near_dup,
         # incremental audio-corpus ingest: landmark-vote content dedup
