@@ -139,6 +139,13 @@ def main() -> None:
     bench("q3_shipping_priority", lambda: relational_ext.q3_shipping_priority(sf_dir))
     bench("doc_duplicate_spans", lambda: dedup.doc_duplicate_spans(sf_dir))
 
+    from data_quality_ray.pipelines import multimodal_dedup
+
+    bench(
+        "clip_fingerprint_matches",
+        lambda: multimodal_dedup.clip_fingerprint_matches(clips_dir, limit=600),
+    )
+
     # ---- second flagship: checkpointed document-corpus pipeline ----
     # input = just the documents table (the runner globs a directory)
     doc_in = f"/tmp/bench_docs_{sf_name}"
