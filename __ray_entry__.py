@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_streaks": relational_ext.events_daily_streaks,
         "orders_status_cube": relational_ext.orders_status_cube,
         "orders_percent_rank": relational_ext.orders_percent_rank,
+        "part_mode_type": relational_ext.part_mode_type,
         # derived-dataset pipelines (reference entry points 2 and 3)
         "spectrogram_dataset": _q_spectrogram,
         "window_dataset": _q_window_records,
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_streaks": relational_ext.EVENTS_DAILY_STREAKS_SQL,
         "orders_status_cube": relational_ext.ORDERS_STATUS_CUBE_SQL,
         "orders_percent_rank": relational_ext.ORDERS_PERCENT_RANK_SQL,
+        "part_mode_type": relational_ext.PART_MODE_TYPE_SQL,
         "doc_stratified_sample": relational_ext.DOC_STRATIFIED_SAMPLE_SQL,
         "doc_weighted_sample": relational_ext.DOC_WEIGHTED_SAMPLE_SQL,
         "doc_balanced_sample": relational_ext.DOC_BALANCED_SAMPLE_SQL,

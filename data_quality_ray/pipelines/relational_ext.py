@@ -2107,3 +2107,57 @@ SELECT o_orderkey,
            AS pct_rank
 FROM orders ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Modal value (argmax with deterministic tie-break) per group
+# ---------------------------------------------------------------------------
+
+
+def part_mode_type(sf_dir: str) -> pd.DataFrame:
+    """Per brand: the most common part type, its count, and the brand's
+    total — the mode/argmax aggregate. Counts come from one
+    map-side-combined distributed groupby over ≤ |brands|×|types| cells;
+    the argmax (ties → lexicographically smallest type, matching the SQL
+    window's ORDER BY) picks from those cells on the driver."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["p_brand", "p_type"], as_index=False).agg(
+            n=("p_type", "size")
+        )
+
+    cells = (
+        rd.read_parquet(_pq(sf_dir, "part"), columns=["p_brand", "p_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = cells.sort_values(["p_brand", "n", "p_type"], ascending=[True, False, True])
+    best = cells.drop_duplicates("p_brand", keep="first").copy()
+    totals = cells.groupby("p_brand", as_index=False).agg(n_total=("n", "sum"))
+    out = best.merge(totals, on="p_brand").rename(
+        columns={"p_type": "mode_type", "n": "n_mode"}
+    )
+    out["n_mode"] = out["n_mode"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return (
+        out[["p_brand", "mode_type", "n_mode", "n_total"]]
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+
+
+PART_MODE_TYPE_SQL = """
+WITH c AS (
+  SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY p_brand, p_type
+), r AS (
+  SELECT p_brand, p_type, n,
+         row_number() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type) AS rk,
+         CAST(sum(n) OVER (PARTITION BY p_brand) AS BIGINT) AS n_total
+  FROM c
+)
+SELECT p_brand, p_type AS mode_type, n AS n_mode, n_total
+FROM r WHERE rk = 1 ORDER BY p_brand
+"""
