@@ -173,7 +173,24 @@ def ingest_new_clips(
             return json.load(f)
 
     fp = new_clips.map_batches(fingerprint_batch, batch_format="pyarrow").materialize()
-    new_ids = sorted(int(x) for x in fp.unique("clip"))  # batch grain: driver-safe
+    # batch grain: driver-safe; unique() is None on a fully-empty dataset
+    new_ids = sorted(int(x) for x in (fp.unique("clip") or []))
+    if not new_ids:  # nothing decodable/fingerprintable: commit an empty delta
+        summary = {
+            "batch_id": batch_id,
+            "accepted": 0,
+            "rejected_existing": 0,
+            "rejected_in_batch": 0,
+        }
+        tmp_dir = os.path.join(index_dir, f".tmp-{batch_id}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        with open(os.path.join(tmp_dir, "summary.json"), "w") as f:
+            json.dump(summary, f)
+        os.makedirs(os.path.join(index_dir, "deltas"), exist_ok=True)
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        os.replace(tmp_dir, delta_dir)
+        return summary
     # touched buckets WITHOUT pulling per-landmark hashes to the driver:
     # distinct-per-block first, then unique over ≤ blocks×64 tiny rows
     buckets = sorted(

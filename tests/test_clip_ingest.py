@@ -118,3 +118,28 @@ def test_ingest_crash_leaves_no_partial_commit(_ray, tmp_path):
     b2 = rd.from_arrow(_clips_table([(1, _tone(300.0, seed=1), "pcm16", 0)]))
     s = clip_ingest.ingest_new_clips(b2, idx, "batch-002")
     assert s["accepted"] == 1
+
+
+def test_ingest_empty_or_undecodable_batch_commits_empty_delta(_ray, tmp_path):
+    """A batch with no fingerprintable payloads must commit (idempotently)
+    without touching the matching machinery."""
+    idx = str(tmp_path / "index")
+    bad = pa.table(
+        {
+            "clip_id": pa.array(["clip-000000000"], pa.string()),
+            "bytes": pa.array([b"\x00\x01garbage"], pa.binary()),
+            "sr_hz": pa.array([SR], pa.int32()),
+            "codec": pa.array(["wav"], pa.string()),  # undecodable payload
+        }
+    )
+    s = clip_ingest.ingest_new_clips(rd.from_arrow(bad), idx, "batch-001")
+    assert s == {
+        "batch_id": "batch-001",
+        "accepted": 0,
+        "rejected_existing": 0,
+        "rejected_in_batch": 0,
+    }
+    assert clip_ingest.ingest_new_clips(rd.from_arrow(bad), idx, "batch-001") == s
+    # a later real batch still ingests cleanly on top of the empty delta
+    b2 = rd.from_arrow(_clips_table([(1, _tone(250.0, seed=5), "pcm16", 0)]))
+    assert clip_ingest.ingest_new_clips(b2, idx, "batch-002")["accepted"] == 1
