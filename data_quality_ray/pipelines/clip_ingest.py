@@ -5,8 +5,10 @@ Text ingest can key on an exact md5 fingerprint; audio cannot (the same
 recording arrives re-encoded, gain-adjusted, or padded with silence), so
 membership here is decided by the constellation-fingerprint vote
 (stages/fingerprint.py): a new clip is a duplicate of a stored one when
-``min_votes`` landmark hashes agree on a single alignment offset — the
-same evidence `clip_fingerprint_matches` uses, run against a STORED,
+enough landmark hashes agree on a single alignment offset — the same
+evidence `clip_fingerprint_matches` uses (shared kernel
+``multimodal_dedup.landmark_match_pairs`` and shared calibration
+constants FP_MIN_VOTES / FP_MAX_HASH_GROUP), run against a STORED,
 append-only landmark index instead of a sibling batch.
 
 Index layout (append-only, identical commit discipline to ingest.py —
@@ -24,16 +26,19 @@ a few hundred clips saturate an 8 KB filter into always-hit — the
 effective prune for content ingest is bucket partitioning plus the fact
 that index rows are ~20 B landmarks, never payloads. Admit decisions:
 
-  - ``rejected_existing``  — aligned votes ≥ min_votes against ANY stored clip
+  - ``rejected_existing``  — aligned votes ≥ FP_MIN_VOTES against a stored
+    clip, directly OR transitively (a clip whose only strong match is a
+    sibling that itself matched stored content is still stored content —
+    the md5 twin is transitive by construction, so this one must be too)
   - ``rejected_in_batch``  — duplicate content within the batch; the
     cluster representative (lowest clip number) is accepted
   - ``accepted``           — everything else; landmarks appended to the index
 
 Vote counting is two hash-partitioned shuffles over landmark rows with
-all group work vectorized per partition (same shape and constants as
-clip_fingerprint_matches); only verified match PAIRS reach the driver,
-where within-batch duplicate clusters resolve by union-find (bounded by
-match count — the repo-wide driver-CC contract, pipelines/dedup.py).
+all group work vectorized per partition; only verified match PAIRS reach
+the driver, where the stored-hit closure and within-batch union-find
+resolve over match-pair-bounded edge sets (the repo-wide driver-CC
+contract, pipelines/dedup.py).
 """
 
 from __future__ import annotations
@@ -50,124 +55,56 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from data_quality_ray.stages.fingerprint import fingerprint_batch
+from data_quality_ray.stages.fingerprint import (
+    FP_MAX_HASH_GROUP,
+    FP_MIN_VOTES,
+    fingerprint_batch,
+)
 
 N_CLIP_BUCKETS = 64
-MIN_VOTES = 100
-MAX_HASH_GROUP = 24
 
 
 def _delta_paths(index_dir: str, buckets: "list[int]") -> "list[str]":
-    """Committed landmark files for ONLY the touched buckets."""
+    """Committed landmark files for ONLY the touched buckets (staging
+    ``.tmp-*`` dirs live outside deltas/ and never match)."""
     paths: list[str] = []
     for b in buckets:
         paths += _glob.glob(
-            os.path.join(index_dir, "deltas", "*", f"bucket={b}", "*.parquet")
+            os.path.join(index_dir, "deltas", f"*/bucket={b}", "*.parquet")
         )
     return sorted(paths)
 
 
-def _match_pairs(tagged: "rd.Dataset", min_votes: int) -> pd.DataFrame:
-    """(a, b, votes) verified content matches from tagged landmark rows.
+def _commit_delta(index_dir: str, batch_id: str, summary: dict, write_fn=None) -> dict:
+    """Stage → (optionally) write landmark files → atomic-rename commit.
 
-    Sign convention: STORED clips carry negated ids (clip → −clip−1) so a
-    re-sent id can never collide with its own stored landmarks and every
-    pair's provenance is readable from its sign. Pairs are generated only
-    when at least one side is new (stored×stored pairs are already settled
-    history); the vote machinery is the vectorized partition-grain form of
-    clip_fingerprint_matches."""
-
-    def add_pkey(t: pa.Table) -> pa.Table:
-        return t.append_column("pkey", pc.bit_wise_and(t["hash"], N_CLIP_BUCKETS - 1))
-
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "a": pd.Series(dtype=np.int64),
-                "b": pd.Series(dtype=np.int64),
-                "dt": pd.Series(dtype=np.int32),
-                "w": pd.Series(dtype=np.int64),
-                "pk2": pd.Series(dtype=np.int64),
-            }
-        )
-        h = g["hash"].to_numpy()
-        c = g["clip"].to_numpy()
-        t = g["t"].to_numpy()
-        order = np.lexsort((c, h))
-        h, c, t = h[order], c[order], t[order]
-        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
-        lens = np.diff(np.r_[starts, len(h)])
-        aa, bb, dts = [], [], []
-        for s in range(2, MAX_HASH_GROUP + 1):
-            gs = starts[lens == s]
-            if len(gs) == 0:
-                continue
-            ii, jj = np.triu_indices(s, k=1)
-            ia = (gs[:, None] + ii[None, :]).ravel()
-            ib = (gs[:, None] + jj[None, :]).ravel()
-            keep = (c[ia] >= 0) | (c[ib] >= 0)  # at least one new endpoint
-            ia, ib = ia[keep], ib[keep]
-            aa.append(c[ia])
-            bb.append(c[ib])
-            dts.append(t[ib] - t[ia])
-        if not aa:
-            return empty
-        a = np.concatenate(aa)
-        b = np.concatenate(bb)
-        dt = np.concatenate(dts).astype(np.int32)
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        dt = np.where(swap, -dt, dt).astype(np.int32)
-        out = (
-            pd.DataFrame({"a": a2, "b": b2, "dt": dt})
-            .groupby(["a", "b", "dt"], as_index=False, sort=False)
-            .size()
-            .rename(columns={"size": "w"})
-        )
-        out["w"] = out["w"].astype(np.int64)
-        out["pk2"] = ((out["a"] * 1_000_003 + out["b"]) % N_CLIP_BUCKETS).astype(np.int64)
-        return out
-
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(["a", "b", "dt"], as_index=False)["w"].sum()
-        s = s.sort_values(["a", "b", "w", "dt"], ascending=[True, True, False, True])
-        best = s.drop_duplicates(["a", "b"], keep="first")
-        best = best[best["w"] >= min_votes]
-        return pd.DataFrame(
-            {
-                "a": best["a"].to_numpy(np.int64),
-                "b": best["b"].to_numpy(np.int64),
-                "votes": best["w"].to_numpy(np.int64),
-            }
-        )
-
-    out = (
-        tagged.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(emit, batch_format="pandas")
-        .groupby("pk2")
-        .map_groups(score, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(out) == 0:
-        return pd.DataFrame(
-            {
-                "a": pd.Series(dtype=np.int64),
-                "b": pd.Series(dtype=np.int64),
-                "votes": pd.Series(dtype=np.int64),
-            }
-        )
-    return out
+    The single commit point for every ingest path so crash semantics can
+    never diverge: a crash before ``os.replace`` leaves only an invisible
+    staging dir; after it, the batch is fully committed (summary included).
+    """
+    tmp_dir = os.path.join(index_dir, f".tmp-{batch_id}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    if write_fn is not None:
+        write_fn(tmp_dir)
+    with open(os.path.join(tmp_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    os.makedirs(os.path.join(index_dir, "deltas"), exist_ok=True)
+    delta_dir = os.path.join(index_dir, "deltas", batch_id)
+    shutil.rmtree(delta_dir, ignore_errors=True)  # only ever a crashed partial
+    os.replace(tmp_dir, delta_dir)
+    return summary
 
 
 def ingest_new_clips(
-    new_clips: "rd.Dataset", index_dir: str, batch_id: str, min_votes: int = MIN_VOTES
+    new_clips: "rd.Dataset",
+    index_dir: str,
+    batch_id: str,
+    min_votes: int = FP_MIN_VOTES,
 ) -> dict:
     """Admit ``new_clips`` (clip_id, bytes, sr_hz, codec) against the stored
     landmark index; returns the batch summary. Idempotent per batch_id."""
-    delta_dir = os.path.join(index_dir, "deltas", batch_id)
-    summary_path = os.path.join(delta_dir, "summary.json")
+    summary_path = os.path.join(index_dir, "deltas", batch_id, "summary.json")
     if os.path.exists(summary_path):
         with open(summary_path) as f:
             return json.load(f)
@@ -176,21 +113,17 @@ def ingest_new_clips(
     # batch grain: driver-safe; unique() is None on a fully-empty dataset
     new_ids = sorted(int(x) for x in (fp.unique("clip") or []))
     if not new_ids:  # nothing decodable/fingerprintable: commit an empty delta
-        summary = {
-            "batch_id": batch_id,
-            "accepted": 0,
-            "rejected_existing": 0,
-            "rejected_in_batch": 0,
-        }
-        tmp_dir = os.path.join(index_dir, f".tmp-{batch_id}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir, exist_ok=True)
-        with open(os.path.join(tmp_dir, "summary.json"), "w") as f:
-            json.dump(summary, f)
-        os.makedirs(os.path.join(index_dir, "deltas"), exist_ok=True)
-        shutil.rmtree(delta_dir, ignore_errors=True)
-        os.replace(tmp_dir, delta_dir)
-        return summary
+        return _commit_delta(
+            index_dir,
+            batch_id,
+            {
+                "batch_id": batch_id,
+                "accepted": 0,
+                "rejected_existing": 0,
+                "rejected_in_batch": 0,
+            },
+        )
+
     # touched buckets WITHOUT pulling per-landmark hashes to the driver:
     # distinct-per-block first, then unique over ≤ blocks×64 tiny rows
     buckets = sorted(
@@ -221,16 +154,33 @@ def ingest_new_clips(
         )
         tagged = tagged.union(idx)
 
-    pairs = _match_pairs(tagged, min_votes)
-    # any match against a STORED (negative-id) clip settles the new clip
+    from data_quality_ray.pipelines.multimodal_dedup import landmark_match_pairs
+
+    pairs = landmark_match_pairs(tagged, min_votes, FP_MAX_HASH_GROUP, bipartite=True)
+
+    # 1) direct stored hits, then transitive closure over new×new edges:
+    # a clip whose strong match chain reaches stored content is stored
+    # content (edge set is match-pair-bounded, so the fixed point is cheap)
     hit_stored = set()
+    new_edges: list[tuple[int, int]] = []
     for a, b in zip(pairs["a"], pairs["b"]):
         if a < 0 <= b:
             hit_stored.add(int(b))
         elif b < 0 <= a:
             hit_stored.add(int(a))
-    # within-batch clusters: union-find over new×new matches (bounded by
-    # verified-match count, the repo-wide driver-CC contract)
+        elif a >= 0 and b >= 0:
+            new_edges.append((int(a), int(b)))
+    changed = True
+    while changed:
+        changed = False
+        for a, b in new_edges:
+            if (a in hit_stored) != (b in hit_stored):
+                hit_stored.add(a if b in hit_stored else b)
+                changed = True
+
+    # 2) within-batch clusters among the remaining new clips: union-find,
+    # rep (always the component minimum: larger root attaches under
+    # smaller) is accepted, the rest rejected_in_batch
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -239,9 +189,9 @@ def ingest_new_clips(
             x = parent[x]
         return x
 
-    for a, b in zip(pairs["a"], pairs["b"]):
-        if a >= 0 and b >= 0 and a not in hit_stored and b not in hit_stored:
-            ra, rb = find(int(a)), find(int(b))
+    for a, b in new_edges:
+        if a not in hit_stored and b not in hit_stored:
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
     status = {}
@@ -261,9 +211,7 @@ def ingest_new_clips(
         "rejected_in_batch": sum(s == "rejected_in_batch" for s in status.values()),
     }
 
-    tmp_dir = os.path.join(index_dir, f".tmp-{batch_id}")
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.makedirs(tmp_dir, exist_ok=True)
+    write_fn = None
     if accepted_ids:
         import ray as _ray
 
@@ -278,15 +226,12 @@ def ingest_new_clips(
                 pc.cast(pc.bit_wise_and(t["hash"], N_CLIP_BUCKETS - 1), pa.int64()),
             )
 
-        fp.map_batches(keep_accepted, batch_format="pyarrow").write_parquet(
-            tmp_dir, partition_cols=["bucket"]
-        )
-    with open(os.path.join(tmp_dir, "summary.json"), "w") as f:
-        json.dump(summary, f)
-    os.makedirs(os.path.join(index_dir, "deltas"), exist_ok=True)
-    shutil.rmtree(delta_dir, ignore_errors=True)  # only ever a crashed partial
-    os.replace(tmp_dir, delta_dir)
-    return summary
+        def write_fn(tmp_dir: str) -> None:
+            fp.map_batches(keep_accepted, batch_format="pyarrow").write_parquet(
+                tmp_dir, partition_cols=["bucket"]
+            )
+
+    return _commit_delta(index_dir, batch_id, summary, write_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -299,79 +244,55 @@ def ingest_new_clips(
 
 RE_KEY = 10_000_000
 DUP_KEY = 20_000_000
+_SHIFT_FRAMES = 8
 
 
-def _transcode_shift(t: pa.Table, offset: int, shift_frames: int = 8) -> pa.Table:
-    from data_quality_ray.functions import codecs
-    from data_quality_ray.stages.fingerprint import FP_HOP
-
-    _NEXT = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
-    ids, bufs, srs, cods = [], [], [], []
-    for i in range(t.num_rows):
-        sr = int(t["sr_hz"][i].as_py())
-        codec = t["codec"][i].as_py()
-        pcm = codecs.decode_tolerant(t["bytes"][i].as_py(), codec, sr)
-        if pcm is None:
-            continue
-        pad = np.zeros(shift_frames * FP_HOP * sr // 16_000, dtype=pcm.dtype)
-        pcm16 = np.clip(
-            np.round(np.concatenate([pad, pcm]) * 32767.0), -32768, 32767
-        ).astype(np.int16)
-        new_codec = _NEXT.get(codec, "ulaw")
-        num = int(str(t["clip_id"][i].as_py()).rsplit("-", 1)[-1]) + offset
-        ids.append(f"clip-{num:09d}")
-        bufs.append(codecs.encode(pcm16, new_codec, sr))
-        srs.append(sr)
-        cods.append(new_codec)
-    return pa.table(
-        {
-            "clip_id": pa.array(ids, pa.string()),
-            "bytes": pa.array(bufs, pa.binary()),
-            "sr_hz": pa.array(srs, pa.int32()),
-            "codec": pa.array(cods, pa.string()),
-        }
-    )
-
-
-def clip_content_ingest(clips_dir: str, index_root: str = "/tmp/graft_clip_ingest") -> pd.DataFrame:
+def clip_content_ingest(
+    clips_dir: str, index_root: str = "/tmp/graft_clip_ingest"
+) -> pd.DataFrame:
     """Two-batch content-ingest demo over the clip table; returns one row
     per (batch, outcome) count. Fresh index per run (keyed by pid) so the
-    query is deterministic under repetition."""
+    query is deterministic under repetition; the index dir is removed on
+    exit (success OR failure) to bound /tmp accumulation."""
+    from data_quality_ray.pipelines.multimodal_dedup import transcode_shift_copies
+
     index_dir = os.path.join(index_root, f"run-{os.getpid()}")
     shutil.rmtree(index_dir, ignore_errors=True)
     cols = ["clip_id", "bytes", "sr_hz", "codec"]
 
-    base = rd.read_parquet(clips_dir, columns=cols).limit(150)
-    b1 = base.limit(100)
-    s1 = ingest_new_clips(b1, index_dir, "batch-001")
+    try:
+        base = rd.read_parquet(clips_dir, columns=cols).limit(150)
+        s1 = ingest_new_clips(base.limit(100), index_dir, "batch-001")
 
-    tail = rd.read_parquet(clips_dir, columns=cols).limit(150)
+        def head_transcode(t: pa.Table) -> pa.Table:  # re-encoded batch-001 content
+            return transcode_shift_copies(t, RE_KEY, _SHIFT_FRAMES)
 
-    def head_transcode(t: pa.Table) -> pa.Table:  # re-encoded batch-001 content
-        return _transcode_shift(t, RE_KEY)
+        def tail_dup(t: pa.Table) -> pa.Table:  # in-batch dups of the fresh clips
+            return transcode_shift_copies(t, DUP_KEY, _SHIFT_FRAMES)
 
-    def tail_dup(t: pa.Table) -> pa.Table:  # in-batch dups of the fresh clips
-        return _transcode_shift(t, DUP_KEY)
+        fresh = base.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(
+                    pc.cast(pc.utf8_slice_codeunits(t["clip_id"], 5, 14), pa.int64()),
+                    100,
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # tiny (≤50 rows); referenced by two unions below
+        b2 = (
+            base.limit(50)
+            .map_batches(head_transcode, batch_format="pyarrow")
+            .union(fresh)
+            .union(fresh.map_batches(tail_dup, batch_format="pyarrow"))
+        )
+        s2 = ingest_new_clips(b2, index_dir, "batch-002")
 
-    first50 = base.limit(50)
-    fresh = tail.map_batches(
-        lambda t: t.filter(
-            pc.greater_equal(
-                pc.cast(pc.utf8_slice_codeunits(t["clip_id"], 5, 14), pa.int64()), 100
-            )
-        ),
-        batch_format="pyarrow",
-    )
-    b2 = (
-        first50.map_batches(head_transcode, batch_format="pyarrow")
-        .union(fresh)
-        .union(fresh.map_batches(tail_dup, batch_format="pyarrow"))
-    )
-    s2 = ingest_new_clips(b2, index_dir, "batch-002")
-
-    rows = []
-    for s in (s1, s2):
-        for k in ("accepted", "rejected_existing", "rejected_in_batch"):
-            rows.append({"batch_id": s["batch_id"], "outcome": k, "n": s[k]})
-    shutil.rmtree(index_dir, ignore_errors=True)
-    return pd.DataFrame(rows).sort_values(["batch_id", "outcome"]).reset_index(drop=True)
+        rows = []
+        for s in (s1, s2):
+            for k in ("accepted", "rejected_existing", "rejected_in_batch"):
+                rows.append({"batch_id": s["batch_id"], "outcome": k, "n": s[k]})
+        return (
+            pd.DataFrame(rows).sort_values(["batch_id", "outcome"]).reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

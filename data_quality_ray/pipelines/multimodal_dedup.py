@@ -46,8 +46,49 @@ import functools
 
 
 def _clip_num(ids: list[str]) -> np.ndarray:
-    """clip-000123 → 123 (the numeric identity the pair machinery keys on)."""
-    return np.array([int(str(s).rsplit("-", 1)[-1]) for s in ids], dtype=np.int64)
+    """clip-000123 → 123 (the numeric identity the pair machinery keys on);
+    derived ids without a numeric tail key by a stable hash (clip_key)."""
+    from data_quality_ray.stages.fingerprint import clip_key
+
+    return np.array([clip_key(s) for s in ids], dtype=np.int64)
+
+
+_NEXT_CODEC = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
+
+
+def transcode_shift_copies(t: pa.Table, offset: int, shift_frames: int = 0) -> pa.Table:
+    """Duplicate-planting helper shared by every audio near-dup/ingest demo:
+    decode each clip, optionally prefix ``shift_frames`` hops of silence,
+    re-encode through the NEXT G.711 codec, and re-key at id + offset.
+    One definition so the planted-offset arithmetic every test calibrates
+    against can never diverge between call sites."""
+    from data_quality_ray.stages.fingerprint import FP_HOP, clip_key
+
+    ids, bufs, srs, cods = [], [], [], []
+    for i in range(t.num_rows):
+        sr = int(t["sr_hz"][i].as_py())
+        codec = t["codec"][i].as_py()
+        pcm = codecs.decode_tolerant(t["bytes"][i].as_py(), codec, sr)
+        if pcm is None:
+            continue
+        if shift_frames:
+            pad = np.zeros(shift_frames * FP_HOP * sr // 16_000, dtype=pcm.dtype)
+            pcm = np.concatenate([pad, pcm])
+        new_codec = _NEXT_CODEC.get(codec, "ulaw")
+        pcm16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int16)
+        num = clip_key(t["clip_id"][i].as_py()) + offset
+        ids.append(f"clip-{num:09d}")
+        bufs.append(codecs.encode(pcm16, new_codec, sr))
+        srs.append(sr)
+        cods.append(new_codec)
+    return pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+            "codec": pa.array(cods, pa.string()),
+        }
+    )
 
 
 def clip_audio_near_dup(
@@ -75,31 +116,8 @@ def clip_audio_near_dup(
         clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
     ).limit(limit)
 
-    _NEXT = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
-
     def transcode(t: pa.Table) -> pa.Table:
-        ids, bufs, srs, cods = [], [], [], []
-        for i in range(t.num_rows):
-            sr = int(t["sr_hz"][i].as_py())
-            codec = t["codec"][i].as_py()
-            pcm = codecs.decode_tolerant(t["bytes"][i].as_py(), codec, sr)
-            if pcm is None:
-                continue
-            new_codec = _NEXT.get(codec, "ulaw")
-            pcm16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int16)
-            num = int(str(t["clip_id"][i].as_py()).rsplit("-", 1)[-1]) + DUP_OFFSET
-            ids.append(f"clip-{num:09d}")
-            bufs.append(codecs.encode(pcm16, new_codec, sr))
-            srs.append(sr)
-            cods.append(new_codec)
-        return pa.table(
-            {
-                "clip_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(bufs, pa.binary()),
-                "sr_hz": pa.array(srs, pa.int32()),
-                "codec": pa.array(cods, pa.string()),
-            }
-        )
+        return transcode_shift_copies(t, DUP_OFFSET)
 
     ds = base.union(base.map_batches(transcode, batch_format="pyarrow"))
     emb = ds.map_batches(
@@ -355,92 +373,35 @@ def video_near_dup(
 # ---------------------------------------------------------------------------
 
 
-def clip_fingerprint_matches(
-    clips_dir: str,
-    limit: int = 600,
-    min_votes: int = 100,
-    max_hash_group: int = 24,
-    shift_frames: int = 8,
+def landmark_match_pairs(
+    fp: "rd.Dataset",
+    min_votes: int,
+    max_hash_group: int,
+    bipartite: bool = False,
+    n_pkeys: int = 64,
 ) -> pd.DataFrame:
-    """(a, b, dt_frames, votes) content matches via landmark fingerprints.
+    """Shared offset-voting kernel over exploded landmark rows
+    (clip:int64, hash:int64, t:int32) → verified (a, b, dt_frames, votes).
 
-    The third audio-identity signal next to byte hashing and log-mel
-    embeddings: spectral-peak landmark hashes (stages/fingerprint.py) voted
-    by ALIGNMENT — a pair matches when many shared hashes agree on one time
-    offset. Catches a copy that is transcoded AND padded with leading
-    silence (which shifts every frame time, so embedding cosine still
-    matches but byte hashing cannot see the copy at all), and reports the
-    recovered alignment ``dt_frames``.
-
-    Planted corpus (the synthetic table is duplicate-free): each base clip
-    is re-encoded through the next G.711 codec and prefixed with
-    ``shift_frames`` hops of silence, at id + DUP_OFFSET. A planted copy
-    must therefore match its source at exactly dt = +shift_frames.
-
-    Scale shape: fingerprint explode (stateless task map) → groupby(hash)
-    pair generation with hub-hash capping (a hash shared by more than
-    ``max_hash_group`` clips is discriminating nothing — dropped, the
-    standard stop-word treatment) → map-side (a,b,dt) vote combine →
-    groupby(a,b) offset-histogram scoring. Two hash-partitioned shuffles,
-    both over landmark-sized rows (~20 B), never payload bytes.
-
-    Note on precision at sf: the synthetic corpus draws f0 from a 310 Hz
-    interval, so two UNRELATED clips whose tones land in the same FFT bin
-    are spectrally identical at the analysis resolution and can genuinely
-    match — those are reported too (they ARE same-content by this signal).
-    The planted-pair tests use well-separated tones to pin exact behavior.
+    Used by ``clip_fingerprint_matches`` (all-pairs within one corpus) and
+    ``pipelines/clip_ingest`` (``bipartite=True``: stored rows carry
+    NEGATED ids and pairs need ≥ 1 non-negative/new endpoint). Both
+    shuffles group by a bounded partition key with ALL group handling
+    vectorized inside: rows sorted by hash, group boundaries by diff,
+    index pairs generated per group SIZE — a per-hash ``map_groups`` at
+    ~10^6 distinct landmarks was measured at > 300 s where this form
+    takes seconds. Hub hashes shared by more than ``max_hash_group``
+    clips discriminate nothing and are dropped (stop-word treatment).
     """
-    from data_quality_ray.stages.fingerprint import FP_HOP, fingerprint_batch
-
-    base = rd.read_parquet(
-        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
-    ).limit(limit)
-
-    _NEXT = {"pcm16": "ulaw", "ulaw": "alaw", "alaw": "pcm16", "wav": "ulaw"}
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids, bufs, srs, cods = [], [], [], []
-        for i in range(t.num_rows):
-            sr = int(t["sr_hz"][i].as_py())
-            codec = t["codec"][i].as_py()
-            pcm = codecs.decode_tolerant(t["bytes"][i].as_py(), codec, sr)
-            if pcm is None:
-                continue
-            pad = np.zeros(shift_frames * FP_HOP * sr // 16_000, dtype=pcm.dtype)
-            shifted = np.concatenate([pad, pcm])
-            new_codec = _NEXT.get(codec, "ulaw")
-            pcm16 = np.clip(np.round(shifted * 32767.0), -32768, 32767).astype(np.int16)
-            num = int(str(t["clip_id"][i].as_py()).rsplit("-", 1)[-1]) + DUP_OFFSET
-            ids.append(f"clip-{num:09d}")
-            bufs.append(codecs.encode(pcm16, new_codec, sr))
-            srs.append(sr)
-            cods.append(new_codec)
-        return pa.table(
-            {
-                "clip_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(bufs, pa.binary()),
-                "sr_hz": pa.array(srs, pa.int32()),
-                "codec": pa.array(cods, pa.string()),
-            }
-        )
-
-    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
-    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-
-    NP = 64  # partition-key fan-out for both landmark shuffles
 
     def add_pkey(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.append_column("pkey", pc.bit_wise_and(t["hash"], 63))
+        return t.append_column(
+            "pkey", pc.bit_wise_and(t["hash"], pa.scalar(n_pkeys - 1, pa.int64()))
+        )
 
     def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One hash-partition → normalized (a, b, dt) votes, map-side
-        combined. ALL group handling is vectorized: rows are sorted by
-        hash, group boundaries found by diff, and index pairs generated
-        per group SIZE (at most max_hash_group distinct sizes), never per
-        group — a per-hash Python loop at ~10^6 distinct landmarks per
-        partition is the difference between seconds and hours."""
         empty = pd.DataFrame(
             {
                 "a": pd.Series(dtype=np.int64),
@@ -458,13 +419,16 @@ def clip_fingerprint_matches(
         starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
         lens = np.diff(np.r_[starts, len(h)])
         aa, bb, dts = [], [], []
-        for s in range(2, max_hash_group + 1):  # hub hashes (> max) dropped
+        for s in range(2, max_hash_group + 1):
             gs = starts[lens == s]
             if len(gs) == 0:
                 continue
             ii, jj = np.triu_indices(s, k=1)
             ia = (gs[:, None] + ii[None, :]).ravel()
             ib = (gs[:, None] + jj[None, :]).ravel()
+            if bipartite:  # ≥ 1 new (non-negative) endpoint per pair
+                keep = (c[ia] >= 0) | (c[ib] >= 0)
+                ia, ib = ia[keep], ib[keep]
             aa.append(c[ia])
             bb.append(c[ib])
             dts.append(t[ib] - t[ia])
@@ -477,19 +441,19 @@ def clip_fingerprint_matches(
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
         dt = np.where(swap, -dt, dt).astype(np.int32)
-        votes = pd.DataFrame({"a": a2, "b": b2, "dt": dt})
-        # map-side combine: collapse identical (a, b, dt) votes before the
-        # pair shuffle
-        out = votes.groupby(["a", "b", "dt"], as_index=False, sort=False).size()
-        out = out.rename(columns={"size": "w"})
+        out = (
+            pd.DataFrame({"a": a2, "b": b2, "dt": dt})
+            .groupby(["a", "b", "dt"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "w"})
+        )  # map-side combine before the pair shuffle
         out["w"] = out["w"].astype(np.int64)
-        out["pk2"] = ((out["a"] * 1_000_003 + out["b"]) % NP).astype(np.int64)
+        out["pk2"] = ((out["a"] * 1_000_003 + out["b"]) % n_pkeys).astype(np.int64)
         return out
 
     def score_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One pair-partition → offset-histogram scores, vectorized:
-        sum votes by (a, b, dt), then keep each pair's best dt (ties →
-        smallest dt) if it clears min_votes."""
+        """Offset-histogram scoring, vectorized: sum votes by (a, b, dt),
+        keep each pair's best dt (ties → smallest) if it clears min_votes."""
         s = g.groupby(["a", "b", "dt"], as_index=False)["w"].sum()
         s = s.sort_values(["a", "b", "w", "dt"], ascending=[True, True, False, True])
         best = s.drop_duplicates(["a", "b"], keep="first")
@@ -503,10 +467,14 @@ def clip_fingerprint_matches(
             }
         )
 
-    keyed = fp.map_batches(add_pkey, batch_format="pyarrow")
-    pairs = keyed.groupby("pkey").map_groups(emit_pairs_part, batch_format="pandas")
-    scored = pairs.groupby("pk2").map_groups(score_part, batch_format="pandas")
-    out = scored.to_pandas()
+    out = (
+        fp.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(emit_pairs_part, batch_format="pandas")
+        .groupby("pk2")
+        .map_groups(score_part, batch_format="pandas")
+        .to_pandas()
+    )
     if len(out) == 0:
         return pd.DataFrame(
             {
@@ -517,3 +485,57 @@ def clip_fingerprint_matches(
             }
         )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def clip_fingerprint_matches(
+    clips_dir: str,
+    limit: int = 600,
+    min_votes: "int | None" = None,
+    max_hash_group: "int | None" = None,
+    shift_frames: int = 8,
+) -> pd.DataFrame:
+    """(a, b, dt_frames, votes) content matches via landmark fingerprints.
+
+    The third audio-identity signal next to byte hashing and log-mel
+    embeddings: spectral-peak landmark hashes (stages/fingerprint.py) voted
+    by ALIGNMENT — a pair matches when many shared hashes agree on one time
+    offset. Catches a copy that is transcoded AND padded with leading
+    silence (which shifts every frame time, so embedding cosine still
+    matches but byte hashing cannot see the copy at all), and reports the
+    recovered alignment ``dt_frames``.
+
+    Planted corpus (the synthetic table is duplicate-free): each base clip
+    is re-encoded through the next G.711 codec and prefixed with
+    ``shift_frames`` hops of silence, at id + DUP_OFFSET
+    (``transcode_shift_copies``). A planted copy must therefore match its
+    source at exactly dt = +shift_frames.
+
+    Vote thresholds default to the calibration-tested constants in
+    stages/fingerprint.py (shared with the clip_ingest admit gate).
+
+    Note on precision at sf: the synthetic corpus draws f0 from a 310 Hz
+    interval, so two UNRELATED clips whose tones land in the same FFT bin
+    are spectrally identical at the analysis resolution and can genuinely
+    match — those are reported too (they ARE same-content by this signal).
+    The planted-pair tests use well-separated tones to pin exact behavior.
+    """
+    from data_quality_ray.stages.fingerprint import (
+        FP_MAX_HASH_GROUP,
+        FP_MIN_VOTES,
+        fingerprint_batch,
+    )
+
+    base = rd.read_parquet(
+        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec"]
+    ).limit(limit)
+
+    def plant(t: pa.Table) -> pa.Table:
+        return transcode_shift_copies(t, DUP_OFFSET, shift_frames)
+
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return landmark_match_pairs(
+        fp,
+        FP_MIN_VOTES if min_votes is None else min_votes,
+        FP_MAX_HASH_GROUP if max_hash_group is None else max_hash_group,
+    )

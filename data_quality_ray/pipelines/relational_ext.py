@@ -1928,20 +1928,21 @@ FROM events GROUP BY user_id ORDER BY user_id
 # ---------------------------------------------------------------------------
 
 
+DAY_US = 86_400_000_000  # one day in µs — interpolated into the oracle SQL
+
+
 def events_daily_streaks(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
     """Per user: count of distinct active days and the longest run of
     CONSECUTIVE days — the gaps-and-islands pattern (SQL: day −
     row_number() island key). Day = floor(epoch µs / 86 400 000 000), the
     same integer on both sides. One user-sharded shuffle; inside a shard
     the island labels come from one vectorized cumsum over day breaks."""
-    day_us = 86_400_000_000
-
     def prep(t: pa.Table) -> pa.Table:
         us = ts_us(t["ts"])
         return pa.table(
             {
                 "user_id": t["user_id"],
-                "day": pc.divide(us, pa.scalar(day_us, pa.int64())),
+                "day": pc.divide(us, pa.scalar(DAY_US, pa.int64())),
                 "pkey": pc.cast(
                     pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
                     pa.int32(),
@@ -1975,9 +1976,9 @@ def events_daily_streaks(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-EVENTS_DAILY_STREAKS_SQL = """
+EVENTS_DAILY_STREAKS_SQL = f"""
 WITH d AS (
-  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS day
   FROM events
 ), r AS (
   SELECT user_id, day,

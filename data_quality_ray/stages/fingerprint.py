@@ -34,6 +34,12 @@ from data_quality_ray.functions import codecs
 from data_quality_ray.stages.decode import CANONICAL_SR, _resample_linear
 
 FP_N_FFT = 1024
+# shared vote-calibration constants: the matcher (multimodal_dedup.
+# clip_fingerprint_matches) and the ingest admit gate (pipelines/
+# clip_ingest) MUST use the same values — they are calibration-tested as
+# a set (tests/test_fingerprint.py, tests/test_clip_ingest.py)
+FP_MIN_VOTES = 100
+FP_MAX_HASH_GROUP = 24
 FP_HOP = 512
 FP_PEAKS_PER_FRAME = 3
 FP_TARGET_DTS = (1, 3, 6, 10)  # anchor→target frame offsets (target zone)
@@ -124,6 +130,23 @@ def fingerprint_pcm(pcm: np.ndarray, sr_hz: int) -> tuple[np.ndarray, np.ndarray
     return h[head], t[head]
 
 
+def clip_key(clip_id) -> int:
+    """Numeric pair-machinery key for a clip id: ``clip-000123`` → 123.
+
+    Derived ids without a numeric tail (``clip-…-u0`` utterances,
+    ``clip-…-sp90`` speed perturbs) key by a stable 62-bit md5 of the
+    full id instead of crashing the task — collisions are negligible and
+    the key only needs to be a deterministic identity."""
+    tail = str(clip_id).rsplit("-", 1)[-1]
+    try:
+        return int(tail)
+    except ValueError:
+        import hashlib
+
+        digest = hashlib.md5(str(clip_id).encode()).digest()
+        return int.from_bytes(digest[:8], "big") & ((1 << 62) - 1)
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """Clip rows → exploded (clip, hash, t) landmark rows.
 
@@ -143,7 +166,7 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
         h, tt = fingerprint_pcm(pcm, int(t["sr_hz"][i].as_py()))
         if len(h) == 0:
             continue
-        num = int(str(t["clip_id"][i].as_py()).rsplit("-", 1)[-1])
+        num = clip_key(t["clip_id"][i].as_py())
         clips.append(np.full(len(h), num, dtype=np.int64))
         hashes.append(h.astype(np.int64))
         times.append(tt)

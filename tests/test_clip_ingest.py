@@ -143,3 +143,29 @@ def test_ingest_empty_or_undecodable_batch_commits_empty_delta(_ray, tmp_path):
     # a later real batch still ingests cleanly on top of the empty delta
     b2 = rd.from_arrow(_clips_table([(1, _tone(250.0, seed=5), "pcm16", 0)]))
     assert clip_ingest.ingest_new_clips(b2, idx, "batch-002")["accepted"] == 1
+
+
+def test_ingest_transitive_stored_hit_rejected(_ray, tmp_path, monkeypatch):
+    """A new clip whose only strong match is a SIBLING that itself matched
+    stored content must be rejected_existing too (transitive closure) —
+    otherwise degraded copies of stored content leak into the index."""
+    import pandas as pd
+
+    from data_quality_ray.pipelines import multimodal_dedup
+
+    idx = str(tmp_path / "index")
+    b = rd.from_arrow(
+        _clips_table([(i, _tone(120.0 + 90 * i, seed=40 + i), "pcm16", 0) for i in (1, 2, 3)])
+    )
+
+    def fake_pairs(fp, min_votes, max_hash_group, bipartite=False, n_pkeys=64):
+        # stored(-1) ↔ 1 strong; 1 ↔ 2 strong; 3 matches nothing
+        return pd.DataFrame(
+            {"a": [-1, 1], "b": [1, 2], "dt_frames": [0, 0], "votes": [500, 500]}
+        )
+
+    monkeypatch.setattr(multimodal_dedup, "landmark_match_pairs", fake_pairs)
+    s = clip_ingest.ingest_new_clips(b, idx, "batch-001")
+    assert s["rejected_existing"] == 2  # clip 1 directly, clip 2 transitively
+    assert s["rejected_in_batch"] == 0
+    assert s["accepted"] == 1
