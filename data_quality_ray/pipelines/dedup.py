@@ -66,32 +66,44 @@ def _doubled(sf_dir: str, perturb: bool) -> "rd.Dataset":
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup of the doubled corpus on normalized-text fingerprint.
 
-    Ray shape: fingerprint in map_batches → groupby(fingerprint) →
-    map_groups(min doc_id). Every surviving row is the smallest id of its
-    content group.
+    Ray shape: fingerprint in map_batches → map-side per-batch (fingerprint,
+    min doc_id) combine → ``groupby(fingerprint).aggregate(Min(doc_id))``.
+    The shuffle-side reduce is Ray's vectorized Min aggregate — NOT a
+    per-distinct-hash ``map_groups`` UDF (one Python call per unique
+    document; the CLAUDE.md measured >300 s scale-killer). The map-side
+    combine also shrinks the shuffle to one row per (batch, fingerprint).
     """
     import hashlib
 
-    def fp(t: pa.Table) -> pa.Table:
+    from ray.data.aggregate import Min as _Min
+
+    def fp_min(t: pa.Table) -> pa.Table:
         h = [
             hashlib.md5(T.normalize_for_fingerprint(x).encode()).hexdigest()
             for x in t["text"].to_pylist()
         ]
-        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(h, pa.string())})
-
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].min())], "fingerprint": [g["fingerprint"].iloc[0]]}
+        part = (
+            pd.DataFrame({"fingerprint": h, "doc_id": t["doc_id"].to_numpy()})
+            .groupby("fingerprint", as_index=False)["doc_id"]
+            .min()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64()),
+                "fingerprint": pa.array(part["fingerprint"], pa.string()),
+            }
         )
 
     out = (
         _doubled(sf_dir, perturb=False)
-        .map_batches(fp, batch_format="pyarrow")
+        .map_batches(fp_min, batch_format="pyarrow")
         .groupby("fingerprint")
-        .map_groups(keep_min, batch_format="pandas")
+        .aggregate(_Min("doc_id", alias_name="doc_id"))
         .to_pandas()
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return (
+        out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+    )
 
 
 EXACT_DEDUP_SQL = rf"""

@@ -681,34 +681,54 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     fixed-point rule in pipelines/relational.py). Output columns are all
     integers/strings: (doc_id, term, tf, df).
 
-    Shape: distinct (doc,term,tf) explode → term-grain
-    ``groupby(term).map_groups`` annotates df onto every row (each term's
-    rows are co-located; no separate df table or join) → doc-grain
-    ``groupby(doc_id).map_groups`` ranks score desc / term asc and keeps
-    ``k``. Two shuffles, both at document-vocabulary grain. Pair a
+    Shape: distinct (doc,term,tf) explode → ``groupby(hash(term) & 63)``
+    with the per-term df computed by ONE vectorized ``transform("size")``
+    inside the shard (every term's rows co-locate in its shard, so the
+    in-shard count IS the global df) → ``groupby(doc_id & 63)`` with the
+    per-doc top-``k`` done by one in-shard sort + cumcount. Two shuffles,
+    BOTH on bounded 64-way partition keys — never one Ray UDF call per
+    distinct term/doc (the CLAUDE.md measured scale-killer). Pair a
     non-default ``k`` with ``doc_tfidf_top_terms_sql(k)``."""
+    n_pkeys = 64
     n_docs = _docs(sf_dir, ["doc_id"]).count()
 
-    def with_df(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["df"] = np.int64(len(g))
-        return g
+    def term_pkey(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        pk = (pd.util.hash_array(terms) % np.uint64(n_pkeys)).astype(np.int32)
+        return t.append_column("pkey", pa.array(pk, pa.int32()))
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def df_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are distinct per (doc, term): rows-per-term == document freq
+        out = g[["doc_id", "term", "tf"]].copy()
+        out["df"] = (
+            g.groupby("term", sort=False)["doc_id"].transform("size").to_numpy(np.int64)
+        )
+        return out
+
+    def doc_pkey(t: pa.Table) -> pa.Table:
+        pk = (t["doc_id"].to_numpy() & (n_pkeys - 1)).astype(np.int32)
+        return t.append_column("pkey2", pa.array(pk, pa.int32()))
+
+    def topk_shard(g: pd.DataFrame) -> pd.DataFrame:
         score = (g["tf"].to_numpy() * np.int64(n_docs)).astype(np.float64) / g[
             "df"
         ].to_numpy().astype(np.float64)
         g = g.assign(score=score).sort_values(
-            ["score", "term"], ascending=[False, True], kind="mergesort"
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
         )
-        return g.head(k)[["doc_id", "term", "tf", "df"]]
+        g = g[g.groupby("doc_id", sort=False).cumcount() < k]
+        return g[["doc_id", "term", "tf", "df"]]
 
     out = (
         _doc_term_tf(sf_dir)
-        .groupby("term")
-        .map_groups(with_df, batch_format="pandas")
-        .groupby("doc_id")
-        .map_groups(topk, batch_format="pandas")
+        .map_batches(term_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(df_shard, batch_format="pandas")
+        .map_batches(doc_pkey, batch_format="pyarrow")
+        .groupby("pkey2")
+        .map_groups(topk_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
@@ -751,32 +771,40 @@ def term_postings(sf_dir: str, min_df: int = 2, sample: int = 20) -> pd.DataFram
 
     Postings are encoded as a string so the driver's column hash stays
     scalar (list columns don't survive the numpy equality compare).
-    Shape: distinct (doc,term) explode → ONE term-grain groupby; each
-    group emits a single pre-truncated row, so the result is
-    vocabulary-grain. At corpus scale the df-cap/truncation is what
-    bounds hot-term groups (a stopword's postings list is never
-    materialized beyond the group block). Pair non-default params with
-    ``term_postings_sql(min_df, sample)``."""
+    Shape: distinct (doc,term) explode → ``groupby(hash(term) & 63)``;
+    every term's rows co-locate in its shard, so ONE vectorized in-shard
+    pass (sort + transform-size + cumcount truncation + C-level string
+    agg) yields the vocabulary-grain result — never one Ray UDF call per
+    distinct term (the CLAUDE.md measured scale-killer). The
+    df-cap/truncation bounds hot-term postings inside the shard. Pair
+    non-default params with ``term_postings_sql(min_df, sample)``."""
+    n_pkeys = 64
 
-    def index_group(g: pd.DataFrame) -> pd.DataFrame:
-        df = len(g)
-        if df < min_df:
-            return pd.DataFrame({"term": [], "df": [], "postings": []}).astype(
-                {"term": str, "df": np.int64, "postings": str}
-            )
-        ids = np.sort(g["doc_id"].to_numpy())[:sample]
-        return pd.DataFrame(
-            {
-                "term": [g["term"].iloc[0]],
-                "df": np.array([df], dtype=np.int64),
-                "postings": [",".join(str(i) for i in ids)],
-            }
+    def term_pkey(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        pk = (pd.util.hash_array(terms) % np.uint64(n_pkeys)).astype(np.int32)
+        return t.append_column("pkey", pa.array(pk, pa.int32()))
+
+    def index_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        by_term = g.groupby("term", sort=False)
+        df = by_term["doc_id"].transform("size").to_numpy(np.int64)
+        keep = (df >= min_df) & (by_term.cumcount().to_numpy() < sample)
+        g = g.assign(df=df)[keep]
+        out = (
+            g.assign(id_str=g["doc_id"].astype(str))
+            .groupby(["term", "df"], sort=False)["id_str"]
+            .agg(",".join)
+            .reset_index()
+            .rename(columns={"id_str": "postings"})
         )
+        return out[["term", "df", "postings"]]
 
     out = (
         _doc_term_tf(sf_dir)
-        .groupby("term")
-        .map_groups(index_group, batch_format="pandas")
+        .map_batches(term_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(index_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("term").reset_index(drop=True)

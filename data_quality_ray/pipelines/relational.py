@@ -391,33 +391,43 @@ ORDER BY event_type, window_start
 # ---------------------------------------------------------------------------
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def events_sessions(
+    sf_dir: str, gap_minutes: int = 30, n_pkeys: int = 64
+) -> pd.DataFrame:
     """Session count + max session length per user (30-min inactivity gap).
 
-    Per-user windowing: ``groupby(user_id).map_groups`` with the group sorted
-    by ts — the partitioning assumption (all events of a user in one group)
-    is exactly what the groupby shuffle provides. SQL oracle uses the classic
+    Per-user windowing on a BOUNDED shard key: ``groupby(user_id & 63)``
+    co-locates each user's events, and inside the shard ONE sort +
+    vectorized boundary diff + two pandas groupbys label and size every
+    user's sessions at once — never one Ray UDF call per distinct user
+    (the CLAUDE.md measured scale-killer). SQL oracle uses the classic
     lag/cumsum session id.
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sid = new.cumsum()
-        sizes = sid.value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sid.max())],
-                "max_session_events": [int(sizes.max())],
-            }
+    def pkey(b: pd.DataFrame) -> pd.DataFrame:
+        b["pkey"] = (b["user_id"].to_numpy() & (n_pkeys - 1)).astype("int32")
+        return b
+
+    def sess_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (g["ts"].diff().to_numpy()[1:] > gap)
+        sid = np.cumsum(new)  # session ids, unique across users in the shard
+        sized = pd.DataFrame({"user_id": u, "sid": sid}).groupby(
+            ["user_id", "sid"], as_index=False, sort=False
+        ).agg(n=("sid", "size"))
+        out = sized.groupby("user_id", as_index=False).agg(
+            n_sessions=("sid", "size"), max_session_events=("n", "max")
         )
+        return out.astype({"n_sessions": "int64", "max_session_events": "int64"})
 
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sess, batch_format="pandas")
+        .map_batches(pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(sess_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
@@ -449,30 +459,37 @@ FROM sized GROUP BY user_id ORDER BY user_id
 # ---------------------------------------------------------------------------
 
 
-def orders_running_total(sf_dir: str) -> pd.DataFrame:
+def orders_running_total(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
     """Running order-value total per customer in order-date order.
 
-    ``groupby(custkey).map_groups`` with an in-group sort — the partitioning
-    assumption (all of a customer's orders in one group) is provided by the
-    groupby shuffle; ties broken by orderkey. Fixed-point cents keep the
-    cumsum bit-identical to the SQL window function.
+    ``groupby(custkey & 63)`` co-locates each customer's orders on a
+    BOUNDED shard key; inside the shard ONE sort + a per-customer
+    ``groupby(...).cumsum()`` (vectorized across all customers) is the
+    window — never one Ray UDF call per distinct customer. Ties broken
+    by orderkey. Fixed-point cents keep the cumsum bit-identical to the
+    SQL window function.
     """
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = pd.Series(np.floor(g["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64"), index=g.index)
-        g = g[["o_custkey", "o_orderkey"]].copy()
-        g["running_cents"] = ((cents.cumsum() + 50) // 100).astype("int64")
-        g["running_total"] = g.pop("running_cents") / 100.0
-        return g
+    def pkey(b: pd.DataFrame) -> pd.DataFrame:
+        b["pkey"] = (b["o_custkey"].to_numpy() & (n_pkeys - 1)).astype("int32")
+        return b
+
+    def running_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cents = np.floor(g["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64")
+        run = pd.Series(cents).groupby(g["o_custkey"].to_numpy(), sort=False).cumsum()
+        out = g[["o_custkey", "o_orderkey"]].copy()
+        out["running_total"] = ((run.to_numpy() + 50) // 100).astype("int64") / 100.0
+        return out
 
     out = (
         rd.read_parquet(
             _pq(sf_dir, "orders"),
             columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
         )
-        .groupby("o_custkey")
-        .map_groups(running, batch_format="pandas")
+        .map_batches(pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(running_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
@@ -1002,21 +1019,33 @@ ORDER BY o_orderkey
 # ---------------------------------------------------------------------------
 
 
-def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
-    """Top-k rows within every group (groupby → in-group sort + head)."""
+def top_orders_per_customer(sf_dir: str, k: int = 3, n_pkeys: int = 64) -> pd.DataFrame:
+    """Top-k rows within every group: ``groupby(custkey & 63)`` BOUNDED
+    shard → ONE in-shard sort (custkey asc, price desc, orderkey asc) +
+    vectorized per-customer cumcount rank — never one Ray UDF call per
+    distinct customer."""
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def pkey(b: pd.DataFrame) -> pd.DataFrame:
+        b["pkey"] = (b["o_custkey"].to_numpy() & (n_pkeys - 1)).astype("int32")
+        return b
+
+    def topk_shard(g: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(g["o_totalprice"].to_numpy() * 10_000.0 + 0.5).astype("int64")
-        g = g.assign(price_e4=cents)
-        g = g.sort_values(["price_e4", "o_orderkey"], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1)
+        g = g.assign(price_e4=cents).sort_values(
+            ["o_custkey", "price_e4", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = g.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        g = g[g["rank"] <= k]
         g["totalprice"] = ((g.pop("price_e4").to_numpy() + 50) // 100) / 100.0
         return g[["o_custkey", "rank", "o_orderkey", "totalprice"]]
 
     out = (
         rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(topk, batch_format="pandas")
+        .map_batches(pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(topk_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)

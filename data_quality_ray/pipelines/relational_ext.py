@@ -336,18 +336,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 
-def events_user_gaps(sf_dir: str) -> pd.DataFrame:
+def events_user_gaps(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
     """Per event: microseconds since the same user's previous event (−1 for
-    the first). ``groupby(user).map_groups`` supplies the partition-by; the
-    in-group sort (ts, event_id) is the ORDER BY; the diff is vectorized."""
+    the first). BOUNDED shard key (``user_id & 63``) co-locates each user's
+    events; inside the shard ONE sort (user, ts, event_id) + one array diff
+    with −1 forced at user boundaries covers every user at once — never one
+    Ray UDF call per distinct user."""
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+    def gaps_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         gap = np.empty(len(ts), dtype=np.int64)
-        gap[0] = -1
+        first = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
             gap[1:] = ts[1:] - ts[:-1]
+            first[1:] = u[1:] != u[:-1]
+        gap[first] = -1
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "gap_us": gap})
 
     def prep(t: pa.Table) -> pa.Table:
@@ -356,14 +361,18 @@ def events_user_gaps(sf_dir: str) -> pd.DataFrame:
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "ts_us": ts_us(t["ts"]),
+                "pkey": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
+                    pa.int32(),
+                ),
             }
         )
 
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(gaps, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(gaps_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
@@ -720,11 +729,41 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 
-def events_trailing_hour(sf_dir: str) -> pd.DataFrame:
+def _trailing_bounds(us: np.ndarray, ts: np.ndarray, window_us: int):
+    """(lo, hi) index bounds of each row's same-user CLOSED trailing window
+    [ts − window, ts] over arrays pre-sorted by (user, ts).
+
+    One composite-key searchsorted (user-rank·2^TS_SPAN_BITS + Δts) covers
+    ALL users in the shard at once — the events_hourly_locf machinery —
+    instead of a per-user Python loop. ``hi`` uses side='right' so equal-ts
+    peers are included (SQL RANGE semantics); ``lo`` is clamped to the
+    user's first row (a window reaching before t0 must not leak into the
+    previous user's key range). Span overage raises (never silent wrap)."""
+    n = len(us)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    uids, starts = np.unique(us, return_index=True)
+    t0 = int(ts.min())
+    if int(ts.max()) - t0 >= (1 << TS_SPAN_BITS):
+        raise ValueError(
+            f"_trailing_bounds: ts span exceeds 2^{TS_SPAN_BITS}µs; "
+            "widen TS_SPAN_BITS (range check, never silent wrap)"
+        )
+    rank = np.searchsorted(uids, us)
+    key = rank * (1 << TS_SPAN_BITS) + (ts - t0)
+    lo = np.searchsorted(key, key - window_us, side="left")
+    lo = np.maximum(lo, starts[rank])
+    hi = np.searchsorted(key, key, side="right")
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def events_trailing_hour(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
     """Per event: number of the same user's events in the closed trailing
-    hour [ts − 1h, ts] — a RANGE-frame sliding window. groupby(user) →
-    in-group sort → two vectorized searchsorteds (peers with equal ts
-    included, matching SQL RANGE semantics)."""
+    hour [ts − 1h, ts] — a RANGE-frame sliding window. BOUNDED shard key
+    (``user_id & 63``) → ONE in-shard sort → one composite-key
+    searchsorted across every user in the shard (``_trailing_bounds``) —
+    never one Ray UDF call per distinct user."""
     hour_us = 3_600_000_000
 
     def prep(t: pa.Table) -> pa.Table:
@@ -733,24 +772,27 @@ def events_trailing_hour(sf_dir: str) -> pd.DataFrame:
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "ts_us": ts_us(t["ts"]),
+                "pkey": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
+                    pa.int32(),
+                ),
             }
         )
 
-    def trail(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="stable")
-        ts = g["ts_us"].to_numpy()
-        n = np.searchsorted(ts, ts, side="right") - np.searchsorted(
-            ts, ts - hour_us, side="left"
+    def trail_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        lo, hi = _trailing_bounds(
+            g["user_id"].to_numpy(), g["ts_us"].to_numpy(), hour_us
         )
         return pd.DataFrame(
-            {"event_id": g["event_id"].to_numpy(), "n_trailing": n.astype(np.int64)}
+            {"event_id": g["event_id"].to_numpy(), "n_trailing": hi - lo}
         )
 
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(trail, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(trail_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
@@ -961,30 +1003,41 @@ FROM s ORDER BY event_type
 def events_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """Per event: its NTILE(k) bucket of ``value`` within the user's events.
 
-    Ray shape: ``groupby(user_id).map_groups`` supplies the PARTITION BY;
-    the in-group argsort on (value, event_id) is the ORDER BY; tile
-    assignment is vectorized (DuckDB NTILE semantics: the first n % k
-    tiles hold one extra row). Ties in the float ``value`` are broken by
-    event_id on both sides, so the assignment is deterministic."""
+    Ray shape: ``groupby(user_id & 63)`` — a BOUNDED shard key — supplies
+    the PARTITION BY; inside the shard ONE lexsort on (user, value,
+    event_id) is the ORDER BY, per-user position/size come from a
+    vectorized cumcount/transform, and the tile formula is evaluated
+    row-wise with per-row n (DuckDB NTILE semantics: the first n % k
+    tiles hold one extra row) — never one Ray UDF call per distinct user.
+    Ties in the float ``value`` are broken by event_id on both sides, so
+    the assignment is deterministic."""
+    n_pkeys = 64
 
-    def tiles(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["event_id"].to_numpy(), g["value"].to_numpy()))
-        n = len(order)
-        q, r = divmod(n, k)
-        pos = np.arange(n, dtype=np.int64)
+    def pkey(b: pd.DataFrame) -> pd.DataFrame:
+        b["pkey"] = (b["user_id"].to_numpy() & (n_pkeys - 1)).astype("int32")
+        return b
+
+    def tiles_shard(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["value"].to_numpy(), g["user_id"].to_numpy())
+        )
+        g = g.iloc[order]
+        by_user = g.groupby("user_id", sort=False)
+        pos = by_user.cumcount().to_numpy()
+        n = by_user["event_id"].transform("size").to_numpy(np.int64)
+        q, r = n // k, n % k
         tile = np.where(
             pos < r * (q + 1),
             pos // (q + 1),
-            r + (pos - r * (q + 1)) // max(q, 1),
+            r + (pos - r * (q + 1)) // np.maximum(q, 1),
         ) + 1
-        return pd.DataFrame(
-            {"event_id": g["event_id"].to_numpy()[order], "tile": tile}
-        )
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "tile": tile})
 
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "value"])
-        .groupby("user_id")
-        .map_groups(tiles, batch_format="pandas")
+        .map_batches(pkey, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(tiles_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
@@ -1800,12 +1853,17 @@ def events_anomaly_flags(sf_dir: str) -> pd.DataFrame:
 
     Exactness: the 3σ test is evaluated as the INTEGER inequality
     ``(v·n − s1)² > 9·(n·s2 − s1²)`` over cent-scaled values, so pipeline
-    and oracle agree bit-for-bit with no float σ. Overflow contract: terms
-    are bounded by (n·max_v)² — asserted per group against 2^62 (DuckDB
-    raises on BIGINT overflow; we must never silently wrap first).
-    Shape: one user-sharded groupby, trailing sums from prefix cumsums +
-    two searchsorteds (the events_trailing_hour machinery)."""
+    and oracle agree bit-for-bit with no float σ. Overflow contract: with
+    bound = n·max|v|, the largest term actually evaluated is
+    9·(n·s2 − s1²) ≤ 9·bound² (and (v·n − s1)² ≤ 4·bound²), so the guard
+    requires 9·bound² < 2^63 — not merely bound² < 2^62, which would
+    admit silent int64 wraparound in the factor-9 term where DuckDB
+    raises. Shape: one BOUNDED user-sharded groupby (``user_id & 63``),
+    trailing sums from prefix cumsums + one composite-key searchsorted
+    across all users in the shard (``_trailing_bounds``) — never one Ray
+    UDF call per distinct user."""
     hour_us = 3_600_000_000
+    n_pkeys = 64
 
     def prep(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0)), round_mode="half_up"), pa.int64())
@@ -1813,24 +1871,28 @@ def events_anomaly_flags(sf_dir: str) -> pd.DataFrame:
             {"event_id": t["event_id"], "user_id": t["user_id"],
              # normalize to µs BEFORE int64 (a ns-unit file would otherwise
              # silently shrink the window 1000×)
-             "ts_us": ts_us(t["ts"]), "v": v}
+             "ts_us": ts_us(t["ts"]), "v": v,
+             "pkey": pc.cast(
+                 pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
+                 pa.int32(),
+             )}
         )
 
-    def flags(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="stable")
-        ts = g["ts_us"].to_numpy()
+    def flags_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         v = g["v"].to_numpy()
-        lo = np.searchsorted(ts, ts - hour_us, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
+        lo, hi = _trailing_bounds(g["user_id"].to_numpy(), g["ts_us"].to_numpy(), hour_us)
+        # cumsums span the whole shard, but lo/hi stay inside each user's
+        # slice, so the differences are per-user window sums
         cs1 = np.concatenate(([0], np.cumsum(v)))
         cs2 = np.concatenate(([0], np.cumsum(v * v)))
-        n = (hi - lo).astype(np.int64)
+        n = hi - lo
         s1 = cs1[hi] - cs1[lo]
         s2 = cs2[hi] - cs2[lo]
         bound = int(np.max(np.abs(v), initial=0)) * int(n.max(initial=1))
-        if bound * bound >= (1 << 62):
+        if 9 * bound * bound >= (1 << 63):
             raise ValueError(
-                "events_anomaly_flags: (n·max_v)² would overflow int64; "
+                "events_anomaly_flags: 9·(n·max_v)² would overflow int64; "
                 "rescale values or shrink the window before the math wraps"
             )
         lhs = v * n - s1
@@ -1842,8 +1904,8 @@ def events_anomaly_flags(sf_dir: str) -> pd.DataFrame:
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(flags, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(flags_shard, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
