@@ -221,21 +221,110 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational_ext,
     )
 
+    # DICT ORDER IS LOAD-BEARING: the driver's CORRECTNESS gate checks only
+    # the FIRST 50 entries in dict order. The window therefore leads with
+    # the flagship 4, then every query that has never had a driver row in
+    # any round (12 of them SQL-oracled), then the queries re-sharded this
+    # round (their rework needs a fresh driver row), then least-recently /
+    # least-often checked; thrice-green veterans rotate to the tail.
     return {
         # flagship clip pipeline (model-based → rows-only driver check)
         "quality_pipeline": _q_quality_pipeline,
         "quality_kept": _q_quality_kept,
         "quality_lang_stats": _q_quality_lang_stats,
         "quality_bucket_counts": _q_quality_bucket_counts,
-        # relational surface (SQL-checked)
+        # --- never driver-checked before round 4: SQL-oracled ---
+        "orders_percent_rank": relational_ext.orders_percent_rank,
+        "part_mode_type": relational_ext.part_mode_type,
+        "train_quality_reg_stats": documents.train_quality_reg_stats,
+        "doc_tfidf_top_terms": documents.doc_tfidf_top_terms,
+        "term_postings": documents.term_postings,
+        "doc_repetition_stats": documents.doc_repetition_stats,
+        "doc_decontaminate": decontam.doc_decontaminate,
+        "minhash_dedup_checked": dedup.minhash_dedup_checked,
+        "jaccard_cluster_reps": dedup.jaccard_cluster_reps,
+        "doc_duplicate_spans": dedup.doc_duplicate_spans,
+        "corpus_ingest": ingest.corpus_ingest,
+        # --- never driver-checked before round 4: rows-only ---
+        "train_bpe_merges": _q_train_bpe,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "semantic_dedup": embeddings.semantic_dedup,
+        "clip_mfcc_features": _q_clip_mfcc_features,
+        "clip_vad_stats": _q_clip_vad_stats,
+        "clip_loudness_stats": _q_clip_loudness_stats,
+        "clip_speech_segments": _q_clip_speech_segments,
+        "clip_utterances": _q_clip_utterances,
+        "clip_speed_perturb": _q_clip_speed_perturb,
+        "clip_audio_near_dup": _q_clip_audio_near_dup,
+        "clip_content_ingest": _q_clip_content_ingest,
+        "clip_fingerprint_matches": _q_clip_fingerprint_matches,
+        "image_near_dup": _q_image_near_dup,
+        "video_near_dup": _q_video_near_dup,
+        # --- re-sharded this round (bounded-pkey rework needs a fresh row) ---
+        "exact_dedup": dedup.exact_dedup,
+        "events_sessions": relational.events_sessions,
+        "orders_running_total": relational.orders_running_total,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "events_user_gaps": relational_ext.events_user_gaps,
+        "events_trailing_hour": relational_ext.events_trailing_hour,
+        "events_value_ntile": relational_ext.events_value_ntile,
+        "events_anomaly_flags": relational_ext.events_anomaly_flags,
+        # --- checked only in round 1 ---
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ann_brute_force": embeddings.ann_brute_force,
+        "ann_lsh": embeddings.ann_lsh,
+        "ann_ivf": embeddings.ann_ivf,
+        "embedding_near_dup": embeddings.embedding_near_dup,
+        "clip_audio_embeddings": _q_clip_audio_embeddings,
+        # --- checked only in round 2 ---
+        "document_pipeline": documents.document_pipeline,
+        "doc_top_terms_cms": documents.doc_top_terms_cms,
+        # --- checked only in round 3 (fills the window to 50) ---
+        "doc_weighted_sample": relational_ext.doc_weighted_sample,
+        "doc_balanced_sample": relational_ext.doc_balanced_sample,
+        "events_type_pivot": relational_ext.events_type_pivot,
+        # ------------- tail: green in two or more prior rounds -------------
+        "events_funnel": relational_ext.events_funnel,
+        "events_cohort_retention": relational_ext.events_cohort_retention,
+        "doc_chars_zscore": relational_ext.doc_chars_zscore,
+        "events_hourly_locf": relational_ext.events_hourly_locf,
+        "events_type_cooccurrence": relational_ext.events_type_cooccurrence,
+        "events_key_skew": relational_ext.events_key_skew,
+        "events_type_sequences": relational_ext.events_type_sequences,
+        "events_daily_streaks": relational_ext.events_daily_streaks,
+        "orders_status_cube": relational_ext.orders_status_cube,
+        "q5_local_supplier_volume": relational_ext.q5_local_supplier_volume,
+        "spectrogram_dataset": _q_spectrogram,
+        "window_dataset": _q_window_records,
+        "doc_token_stats": documents.doc_token_stats,
+        "doc_fingerprint": documents.doc_fingerprint,
+        "doc_scrub": documents.doc_scrub,
+        "doc_quality_flags": documents.doc_quality_flags,
+        "doc_split": _q_doc_split,
+        "doc_langid": documents.doc_langid,
+        "doc_ppl": documents.doc_ppl,
+        "doc_top_terms": documents.doc_top_terms,
+        "doc_length_histogram": documents.doc_length_histogram,
+        "train_char_lm_counts": documents.train_char_lm_counts,
+        "events_props_extract": relational_ext.events_props_extract,
+        "events_weekly_users": relational_ext.events_weekly_users,
+        "events_value_median": relational_ext.events_value_median,
+        "revenue_rollup": relational_ext.revenue_rollup,
+        "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
+        "orders_prior_window": relational_ext.orders_prior_window,
+        "q3_shipping_priority": relational_ext.q3_shipping_priority,
+        "doc_stratified_sample": relational_ext.doc_stratified_sample,
+        "events_user_hll": relational_ext.events_user_hll,
+        "events_value_quantiles": relational_ext.events_value_quantiles,
+        "events_value_k_corr": relational_ext.events_value_k_corr,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "top_customers": relational.top_customers,
         "order_priority_by_nation": relational.order_priority_by_nation,
         "parts_filter_project": relational.parts_filter_project,
         "events_hourly": relational.events_hourly,
-        "events_sessions": relational.events_sessions,
-        "orders_running_total": relational.orders_running_total,
         "events_asof_orders": relational.events_asof_orders,
         "customers_without_orders": relational.customers_without_orders,
         "distinct_langs": relational.distinct_langs,
@@ -245,103 +334,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_extremes": relational.events_value_extremes,
         "events_value_stats": relational.events_value_stats,
         "orders_of_active_users": relational.orders_of_active_users,
-        "top_orders_per_customer": relational.top_orders_per_customer,
-        # extended relational surface (round 2 — all SQL-checked)
-        "events_props_extract": relational_ext.events_props_extract,
-        "events_weekly_users": relational_ext.events_weekly_users,
-        "events_value_median": relational_ext.events_value_median,
-        "events_user_gaps": relational_ext.events_user_gaps,
-        "revenue_rollup": relational_ext.revenue_rollup,
-        "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
-        "orders_prior_window": relational_ext.orders_prior_window,
-        "q3_shipping_priority": relational_ext.q3_shipping_priority,
-        "events_trailing_hour": relational_ext.events_trailing_hour,
-        "doc_stratified_sample": relational_ext.doc_stratified_sample,
-        "doc_weighted_sample": relational_ext.doc_weighted_sample,
-        "doc_balanced_sample": relational_ext.doc_balanced_sample,
-        "events_user_hll": relational_ext.events_user_hll,
-        "events_value_quantiles": relational_ext.events_value_quantiles,
-        "events_value_k_corr": relational_ext.events_value_k_corr,
-        "events_value_ntile": relational_ext.events_value_ntile,
-        "events_type_pivot": relational_ext.events_type_pivot,
-        "q5_local_supplier_volume": relational_ext.q5_local_supplier_volume,
-        "events_funnel": relational_ext.events_funnel,
-        "events_cohort_retention": relational_ext.events_cohort_retention,
-        "doc_chars_zscore": relational_ext.doc_chars_zscore,
-        "events_hourly_locf": relational_ext.events_hourly_locf,
-        "events_type_cooccurrence": relational_ext.events_type_cooccurrence,
-        "events_key_skew": relational_ext.events_key_skew,
-        "events_anomaly_flags": relational_ext.events_anomaly_flags,
-        "events_type_sequences": relational_ext.events_type_sequences,
-        "events_daily_streaks": relational_ext.events_daily_streaks,
-        "orders_status_cube": relational_ext.orders_status_cube,
-        "orders_percent_rank": relational_ext.orders_percent_rank,
-        "part_mode_type": relational_ext.part_mode_type,
-        # derived-dataset pipelines (reference entry points 2 and 3)
-        "spectrogram_dataset": _q_spectrogram,
-        "window_dataset": _q_window_records,
-        # documents / text analysis
-        "document_pipeline": documents.document_pipeline,
-        "doc_token_stats": documents.doc_token_stats,
-        "doc_fingerprint": documents.doc_fingerprint,
-        "doc_scrub": documents.doc_scrub,
-        "doc_quality_flags": documents.doc_quality_flags,
-        "doc_split": _q_doc_split,
-        "doc_langid": documents.doc_langid,
-        "doc_ppl": documents.doc_ppl,
-        "doc_top_terms": documents.doc_top_terms,
-        "doc_top_terms_cms": documents.doc_top_terms_cms,
-        "doc_length_histogram": documents.doc_length_histogram,
-        "train_char_lm_counts": documents.train_char_lm_counts,
-        "train_quality_reg_stats": documents.train_quality_reg_stats,
-        "doc_tfidf_top_terms": documents.doc_tfidf_top_terms,
-        "term_postings": documents.term_postings,
-        "doc_repetition_stats": documents.doc_repetition_stats,
-        # benchmark n-gram decontamination (training-data hygiene)
-        "doc_decontaminate": decontam.doc_decontaminate,
-        # distributed BPE tokenizer training (rows-only; pinned to the
-        # sequential reference by tests/test_bpe.py)
-        "train_bpe_merges": _q_train_bpe,
-        "bpe_token_counts": _q_bpe_token_counts,
-        # dedup family
-        "exact_dedup": dedup.exact_dedup,
-        "minhash_dedup": dedup.minhash_dedup,
-        "minhash_dedup_checked": dedup.minhash_dedup_checked,
-        "simhash_dedup": dedup.simhash_dedup,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "jaccard_cluster_reps": dedup.jaccard_cluster_reps,
-        "doc_duplicate_spans": dedup.doc_duplicate_spans,
-        # incremental ingest vs a stored fingerprint index (admit/reject)
-        "corpus_ingest": ingest.corpus_ingest,
-        # similarity search
-        "ann_brute_force": embeddings.ann_brute_force,
-        "ann_lsh": embeddings.ann_lsh,
-        "ann_ivf": embeddings.ann_ivf,
-        "embedding_near_dup": embeddings.embedding_near_dup,
-        # SemDeDup: k-means cells → within-cell cosine prune (rows-only)
-        "semantic_dedup": embeddings.semantic_dedup,
-        # audio embeddings over the clip table (log-mel actor pool)
-        "clip_audio_embeddings": _q_clip_audio_embeddings,
-        "clip_mfcc_features": _q_clip_mfcc_features,
-        # energy VAD + SNR over the clip table (quality gate / trim stats)
-        "clip_vad_stats": _q_clip_vad_stats,
-        # per-clip level stats (peak/RMS/crest/clipping, fixed-point)
-        "clip_loudness_stats": _q_clip_loudness_stats,
-        # VAD-run explode: per-clip merged speech segments (utterance grain)
-        "clip_speech_segments": _q_clip_speech_segments,
-        # corpus-building transforms: utterance payload materialization and
-        # Ko-et-al speed-perturbation augmentation (derived clip tables)
-        "clip_utterances": _q_clip_utterances,
-        "clip_speed_perturb": _q_clip_speed_perturb,
-        # multimodal content-level dedup (audio transcodes, image aHash)
-        "clip_audio_near_dup": _q_clip_audio_near_dup,
-        # incremental audio-corpus ingest: landmark-vote content dedup
-        # against a stored append-only index (audio twin of corpus_ingest)
-        "clip_content_ingest": _q_clip_content_ingest,
-        # constellation-fingerprint content matching (offset-voted landmarks)
-        "clip_fingerprint_matches": _q_clip_fingerprint_matches,
-        "image_near_dup": _q_image_near_dup,
-        "video_near_dup": _q_video_near_dup,
     }
 
 
