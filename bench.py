@@ -152,9 +152,16 @@ def main() -> None:
     os.makedirs(doc_in, exist_ok=True)
     link = os.path.join(doc_in, "documents.parquet")
     target = os.path.join(sf_dir, "documents.parquet")
-    if os.path.islink(link) and os.readlink(link) != target:
-        os.unlink(link)  # same sf basename, different GRAFT_SF_DIR root
-    if not os.path.exists(link):
+    # never silently bench a stale entry: a leftover regular file or dir at
+    # the link path would pass os.path.exists and shadow the requested sf
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.unlink(link)  # same sf basename, different GRAFT_SF_DIR root
+    elif os.path.isdir(link):
+        shutil.rmtree(link)
+    elif os.path.lexists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(target, link)
     doc_out = f"/tmp/bench_doc_out_{num_cpus}"
     shutil.rmtree(doc_out, ignore_errors=True)

@@ -517,8 +517,18 @@ def ann_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16, n_probe: int = 4) ->
 # ---------------------------------------------------------------------------
 
 
+# SemDeDup cell sizing: target rows per k-means cell (the paper's k grows
+# with corpus size, keeping the O(m²/k) within-cell pairwise step bounded);
+# sample/cell caps bound the driver-side quantizer fit at any corpus size.
+SEMDEDUP_ROWS_PER_CELL = 2_048
+SEMDEDUP_MAX_SAMPLE = 65_536
+
+
 def semantic_dedup(
-    sf_dir: str, threshold: float = 0.92, n_cells: int = 16
+    sf_dir: str,
+    threshold: float = 0.92,
+    n_cells: int | None = None,
+    chunk_rows: int = 1_024,
 ) -> pd.DataFrame:
     """Semantic dedup à la SemDeDup (Abbas et al. 2023): k-means-cluster the
     embedding space, then WITHIN each cluster drop all but one member of
@@ -528,23 +538,45 @@ def semantic_dedup(
     op always has real work: each copy must be dropped in favor of its
     source. Returns (vec_id, cluster_rep, keep) for every row, sorted.
 
-    Scale shape: the quantizer is fit on a bounded distributed sample (the
-    IVF machinery); assignment is a vectorized broadcast-centroid map; the
-    only shuffle is ONE groupby(cell) whose groups are the natural unit of
-    SemDeDup's O(m²/k) pairwise step. Per-cluster pairwise work is the
-    method's published cost — for skewed clusters, shrink it by raising
-    ``n_cells`` (the paper's k scales with corpus size). Cross-cluster
-    duplicates are invisible by construction — that recall loss is the
-    documented trade-off of the method itself, and the LSH path
-    (:func:`embedding_near_dup`) is the alternative when pair recall
-    matters more than cost.
+    Scale shape: ``n_cells`` defaults to ~rows/2k (min 16) so a cell stays
+    a bounded pandas group at ANY corpus size — the paper's k scales with
+    data; a fixed k would make every cell corpus/k, i.e. whole-dataset-
+    scale materialization. The quantizer is fit on a bounded distributed
+    sample (≥8 points per centroid, capped at SEMDEDUP_MAX_SAMPLE — past
+    that cap cells grow past the 2k target and a two-level quantizer is
+    the documented next step); assignment is a vectorized broadcast-
+    centroid map; the only shuffle is ONE groupby(cell). The within-cell
+    similarity matmul runs in row CHUNKS so peak memory is chunk×m, not
+    m×m, even for skew-fattened cells. Cross-cluster duplicates are
+    invisible by construction — that recall loss is the documented
+    trade-off of the method itself (pinned by the forced-many-cells
+    recall test), and the LSH path (:func:`embedding_near_dup`) is the
+    alternative when pair recall matters more than cost.
     """
     base = _emb(sf_dir)
     ds = base.union(base.map_batches(_noisy_copy, batch_format="pyarrow"))
 
     n = ds.count()
-    frac = min(1.0, IVF_SAMPLE_SIZE / max(n, 1))
-    sample_df = ds.random_sample(frac, seed=3).to_pandas()
+    if n_cells is None:
+        n_cells = max(16, -(-n // SEMDEDUP_ROWS_PER_CELL))
+    sample_size = min(max(IVF_SAMPLE_SIZE, 8 * n_cells), SEMDEDUP_MAX_SAMPLE)
+    frac = min(1.0, sample_size / max(n, 1))
+    # content-keyed sample (Fibonacci hash of vec_id), NOT random_sample:
+    # the quantizer — and therefore every merge decision — is identical at
+    # any parallelism / block order, like every other sampler in this repo
+    lim = np.uint64(int(frac * float(1 << 24)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
+        return t.filter(pa.array(h < lim))
+
+    sample_df = (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
     sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     cn = _kmeans_fit(sample, min(n_cells, len(sample)))
@@ -557,6 +589,8 @@ def semantic_dedup(
         matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         cells = (matn @ cn_.T).argmax(axis=1).astype(np.int32)
         return t.append_column("cell", pa.array(cells))
+
+    chunk = max(1, chunk_rows)  # similarity matmul rows per slab: peak mem chunk×m
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy(dtype=np.int64)
@@ -575,11 +609,15 @@ def semantic_dedup(
                 x = parent[x]
             return x
 
-        ii, jj = np.nonzero(np.triu(matn @ matn.T >= threshold, k=1))
-        for a, b in zip(ii.tolist(), jj.tolist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = matn[lo:hi] @ matn.T  # (hi−lo) × m slab
+            ii, jj = np.nonzero(sims >= threshold)
+            above = jj > ii + lo  # strict upper triangle in global indices
+            for a, b in zip((ii[above] + lo).tolist(), jj[above].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
         roots = np.array([find(i) for i in range(m)])
         return pd.DataFrame(
             {

@@ -316,6 +316,42 @@ def test_cluster_output_rejects_unknown_mode(_ray):
         dedup.simhash_dedup(SF_DIR, components="bogus")
 
 
+def test_semantic_dedup_auto_cells_and_chunking(_ray):
+    """Cell count derives from corpus size; the chunked similarity matmul
+    must be value-identical to the one-slab path (forced chunk_rows=37
+    makes the 1000-row corpus run ~27 slabs)."""
+    # 1000 rows → auto n_cells = max(16, ceil(1000/2048)) = 16
+    base = embeddings.semantic_dedup(SF_DIR)
+    chunked = embeddings.semantic_dedup(SF_DIR, chunk_rows=37)
+    assert chunked.equals(base), "chunked matmul diverged from one-slab path"
+
+
+def test_semantic_dedup_many_cells_pins_recall_tradeoff(_ray):
+    """With n_cells pushed far past rows/2k (64 cells for 1000 rows), some
+    source→copy neighborhoods straddle a cell boundary: SemDeDup's
+    documented recall loss. The output must stay structurally sound —
+    every row present, reps are kept rows, unmerged copies self-rep —
+    and the within-cell merges it does find must still be right."""
+    out = embeddings.semantic_dedup(SF_DIR, n_cells=64)
+    assert len(out) == 2 * N_DOCS and out["vec_id"].is_unique
+    rep = dict(zip(out["vec_id"], out["cluster_rep"]))
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    for vid, r in rep.items():
+        assert keep[r], f"cluster_rep {r} of {vid} is not a kept row"
+        assert rep[r] == r, f"cluster_rep {r} is not its own rep"
+    copies = out[out["vec_id"] >= embeddings.DUP_OFFSET]
+    merged = copies[copies["cluster_rep"] == copies["vec_id"] - embeddings.DUP_OFFSET]
+    unmerged = copies[copies["cluster_rep"] == copies["vec_id"]]
+    # every copy either merged to its source (same cell) or became its own
+    # rep (cell-boundary miss) — never merged to an unrelated vector
+    # (random gaussians never reach cosine 0.92)
+    assert len(merged) + len(unmerged) == N_DOCS
+    assert not merged["keep"].any() and unmerged["keep"].all()
+    # the quantizer is deterministic (seeded sample + seeded k-means), so
+    # same-cell copies must still merge: the split can't erase everything
+    assert len(merged) > 0
+
+
 def test_semantic_dedup_drops_planted_copies(_ray):
     out = embeddings.semantic_dedup(SF_DIR)
     assert len(out) == 2 * N_DOCS and out["vec_id"].is_unique
