@@ -4,9 +4,10 @@
   against a broadcast query matrix (``ray.put`` once), per-batch partial
   top-k, tiny driver-side merge. The baseline the scale paths are judged
   against; DuckDB oracle via ``list_cosine_similarity``.
-- :func:`ann_lsh` — random-hyperplane LSH bucketing (multi-table): the
-  scale path; candidates only from matching buckets, recall measured
-  against brute force in tests.
+- :func:`ann_lsh` — random-hyperplane LSH over a STORED bucket-partitioned
+  index (:func:`build_lsh_index`): the scale path; the query reads only
+  probed (table, code) partitions, recall measured against brute force in
+  tests.
 - :func:`embedding_near_dup` — cosine near-duplicate pairs over a corpus
   with planted perturbed copies, LSH-bucketed.
 """
@@ -207,50 +208,140 @@ class _Hyperplanes:
         return out
 
 
-def ann_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
-    """Approximate top-k: candidates = vectors sharing any LSH bucket with
-    the query (8 tables × 8 hyperplane bits), scored exactly, then top-k.
+def build_lsh_index(
+    sf_dir: str, index_dir: str, n_tables: int = 16, n_bits: int = 6, seed: int = 11
+) -> _Hyperplanes:
+    """Write the STORED multi-table LSH index: each vector's row is
+    replicated once per hash table and written with
+    ``partition_cols=["tbl", "code"]``, so a query later reads ONLY the
+    files of its own (table, code) buckets — the IVF partition-pruning
+    shape. Returns the (seeded, reproducible) hyperplanes shared by the
+    build and query paths.
 
-    Scale shape: the bucketing stage is a map over the table emitting
-    (table, code, vec_id) rows; at 100 TB the candidate scoring is a
-    groupby-join on bucket code. Here the candidate union per query is
-    gathered via the same partial-top-k map as brute force, restricted to
-    bucket-matching rows (the broadcast carries the query codes).
-    """
-    qids, qmat = _load_queries(sf_dir)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    # dim from the data; 16 tables × 6 bits ≈ 75% recall@5 on random
-    # gaussian embeddings while pruning ~3/4 of candidates
-    hp = _Hyperplanes(qmat.shape[1], n_tables=16, n_bits=6)
-    qcodes = hp.codes(qn)  # (q, n_tables)
-    q_ref = ray.put((qids, qn, qcodes))
+    The ×n_tables row replication is the classic multi-table LSH
+    space-for-time trade-off (each table IS an index copy); when index
+    bytes dominate, the key-only alternative — (tbl, code, vec_id)
+    postings + bucketed vector re-attach joins — is the shape
+    :func:`embedding_near_dup` already demonstrates. ``tbl``/``code``
+    are duplicated as physical ``tbl_id``/``code_id`` columns so the
+    per-row bucket survives a path-pruned read (same trick as IVF's
+    ``cell_id``)."""
+    hp = _Hyperplanes(_emb_dim(sf_dir), n_tables=n_tables, n_bits=n_bits, seed=seed)
+    href = ray.put(hp)
 
-    def partial(t: pa.Table) -> pa.Table:
-        qids_, qn_, qcodes_ = ray.get(q_ref)
+    def post(t: pa.Table) -> pa.Table:
+        hp_ = ray.get(href)
         ids, mat = _batch_matrix(t)
         matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        codes = hp.codes(matn)  # (batch, n_tables)
-        out_q, out_v, out_s = [], [], []
-        for j in range(len(qids_)):
-            cand = (codes == qcodes_[j][None, :]).any(axis=1)
-            if not cand.any():
-                continue
-            s = matn[cand] @ qn_[j]
-            cids = ids[cand]
-            kk = min(k, len(cids))
-            order = np.lexsort((cids, -s))[:kk]
-            out_q.extend([int(qids_[j])] * kk)
-            out_v.extend(cids[order].tolist())
-            out_s.extend(s[order].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+        codes = hp_.codes(matn)  # (n, n_tables) uint32
+        parts = []
+        for tb in range(hp_.n_tables):
+            c = codes[:, tb].astype(np.int32)
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                        "tbl_id": pa.array(np.full(len(ids), tb, np.int32)),
+                        "code_id": pa.array(c),
+                        "tbl": pa.array(np.full(len(ids), tb, np.int32)),
+                        "code": pa.array(c),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
-    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    _emb(sf_dir).map_batches(post, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["tbl", "code"]
+    )
+    return hp
+
+
+def probed_bucket_paths(index_dir: str, buckets: "list[tuple[int, int]]") -> list[str]:
+    """Parquet file paths of the probed (table, code) buckets (hive layout)
+    — the explicit partition pruning of the LSH query path; never lists
+    unprobed buckets."""
+    import glob as _glob
+
+    out = []
+    for tb, code in buckets:
+        out.extend(
+            sorted(
+                _glob.glob(
+                    os.path.join(index_dir, f"tbl={int(tb)}", f"code={int(code)}", "*.parquet")
+                )
+            )
+        )
+    return out
+
+
+def ann_lsh(
+    sf_dir: str, k: int = TOP_K, n_tables: int = 16, n_bits: int = 6
+) -> pd.DataFrame:
+    """Approximate top-k over the STORED bucket-partitioned LSH index:
+    candidates = vectors sharing any (table, code) bucket with the query
+    (16 tables × 6 hyperplane bits ≈ 75% recall@5 on random gaussians),
+    scored exactly within buckets, then top-k.
+
+    Scale shape: codes are computed ONCE at index build
+    (:func:`build_lsh_index`); the query path is a partition-PRUNED
+    ``read_parquet`` of only the q·n_tables probed buckets — bytes read
+    scale with bucket occupancy (test-asserted like IVF's), never a full
+    corpus scan per query batch. A vector reached through several tables
+    is deduped at the tiny driver merge."""
+    import shutil
+    import tempfile
+
+    qids, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    index_dir = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        hp = build_lsh_index(sf_dir, index_dir, n_tables=n_tables, n_bits=n_bits)
+        qcodes = hp.codes(qn)  # (q, n_tables)
+        buckets = sorted(
+            {(tb, int(qcodes[j, tb])) for j in range(len(qids)) for tb in range(hp.n_tables)}
+        )
+        ref = ray.put((qids, qn, qcodes))
+
+        def partial(t: pa.Table) -> pa.Table:
+            qids_, qn_, qcodes_ = ray.get(ref)
+            ids, mat = _batch_matrix(t)
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            tbl = t["tbl_id"].to_numpy().astype(np.int64)
+            code = t["code_id"].to_numpy().astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(qids_)):
+                cand = qcodes_[j][tbl] == code  # row's bucket probed by query j
+                if not cand.any():
+                    continue
+                s = matn[cand] @ qn_[j]
+                cids = ids[cand]
+                kk = min(k, len(cids))
+                order = np.lexsort((cids, -s))[:kk]
+                out_q.extend([int(qids_[j])] * kk)
+                out_v.extend(cids[order].tolist())
+                out_s.extend(s[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+        parts = (
+            rd.read_parquet(  # partition-pruned: only probed buckets' files
+                probed_bucket_paths(index_dir, buckets)
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    # a vector found via several tables appears once per table: dedup before
+    # ranking (scores are identical — same exact cosine)
+    parts = parts.drop_duplicates(["query_id", "vec_id"])
     out_rows = []
     for qid, g in parts.groupby("query_id"):
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

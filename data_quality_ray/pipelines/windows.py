@@ -59,41 +59,66 @@ def add_window_id(batch: pa.Table) -> pa.Table:
     return batch.append_column("window_id", pa.array(wid, pa.string()))
 
 
-def _window_record(g: pd.DataFrame) -> pd.DataFrame:
-    """One record per window: symbolic fact string + all-perfect class.
+N_WINDOW_PKEYS = 64
+
+
+def add_window_pkey(batch: pa.Table) -> pa.Table:
+    """Bounded shard key for the window shuffle (hash(window_id) & 63)."""
+    wids = batch["window_id"].to_numpy(zero_copy_only=False)
+    pk = (pd.util.hash_array(wids) % np.uint64(N_WINDOW_PKEYS)).astype(np.int32)
+    return batch.append_column("pkey", pa.array(pk, pa.int32()))
+
+
+def _window_records_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """All windows of one bounded shard in one call: window count grows with
+    the corpus (rows/WINDOW), so the Ray shuffle key must stay the 64-way
+    pkey — never one UDF call per window (the CLAUDE.md scale-killer).
+    One in-shard sort + a single pandas groupby aggregates every window;
+    the per-row fact strings and per-window closers are the output payload
+    itself, not dispatch overhead.
 
     Class semantics mirror eeg_datasets.py:77-78: class 0 iff every row in
     the window has quality_score == 1.0, else 1. Facts mirror the
     ``seq(id, state(x), t)`` shape (eeg_datasets.py:80-89) with the bucket
     as the state vocabulary.
     """
-    g = g.sort_values("clip_id")
-    wid = g["window_id"].iloc[0]
-    all_perfect = bool((g["quality_score"] == 1.0).all())
-    facts = ". ".join(
-        f"seq({wid}, state({b}), {t})" for t, b in enumerate(g["bucket"])
-    )
-    facts += f". class({wid}, {0 if all_perfect else 1})"
     from data_quality_ray.functions.hashing import split_of
 
-    return pd.DataFrame(
-        {
-            "window_id": [wid],
-            "n_rows": [len(g)],
-            "window_class": [0 if all_perfect else 1],
-            "n_kept": [int(g["keep"].sum())],
-            "facts": [facts],
-            "split": [split_of(wid)],
-        }
+    g = g.sort_values(["window_id", "clip_id"], kind="mergesort")
+    t = g.groupby("window_id", sort=False).cumcount().to_numpy()
+    g = g.assign(
+        fact=[
+            f"seq({w}, state({b}), {tt})"
+            for w, b, tt in zip(g["window_id"], g["bucket"], t)
+        ],
+        kept=g["keep"].astype(np.int64),
     )
+    agg = g.groupby("window_id", sort=False).agg(
+        n_rows=("clip_id", "size"),
+        min_score=("quality_score", "min"),
+        n_kept=("kept", "sum"),
+        facts=("fact", ". ".join),
+    )
+    agg = agg.reset_index()
+    cls = np.where(agg["min_score"].to_numpy() == 1.0, 0, 1).astype(np.int64)
+    agg["window_class"] = cls
+    agg["facts"] = [
+        f"{f}. class({w}, {c})"
+        for f, w, c in zip(agg["facts"], agg["window_id"], cls)
+    ]
+    agg["split"] = [split_of(w) for w in agg["window_id"]]
+    agg["n_rows"] = agg["n_rows"].astype(np.int64)
+    agg["n_kept"] = agg["n_kept"].astype(np.int64)
+    return agg[["window_id", "n_rows", "window_class", "n_kept", "facts", "split"]]
 
 
 def window_records(annotated: "object") -> "object":
     """Annotated clip Dataset → one summary row per tumbling window."""
     return (
         annotated.map_batches(add_window_id, batch_format="pyarrow")
-        .groupby("window_id")
-        .map_groups(_window_record, batch_format="pandas")
+        .map_batches(add_window_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(_window_records_shard, batch_format="pandas")
     )
 
 

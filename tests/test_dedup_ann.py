@@ -200,6 +200,53 @@ def test_cc_labels_dataset_empty_edges(_ray):
     assert dedup._cc_labels_dataset(empty).count() == 0
 
 
+def test_ann_lsh_pruned_read_skips_unprobed_buckets(_ray, monkeypatch):
+    """The stored-index LSH query path must physically read ONLY probed
+    (table, code) buckets' files — the IVF pruning contract."""
+    import glob
+    import os
+
+    captured = {}
+    orig = embeddings.probed_bucket_paths
+
+    def spy(index_dir, buckets):
+        paths = orig(index_dir, buckets)
+        all_files = set(glob.glob(os.path.join(index_dir, "tbl=*", "code=*", "*.parquet")))
+        captured["n_all"] = len(all_files)
+        captured["n_probed"] = len(paths)
+        assert set(paths) <= all_files
+        return paths
+
+    monkeypatch.setattr(embeddings, "probed_bucket_paths", spy)
+    out = embeddings.ann_lsh(SF_DIR)
+    assert len(out) > 0
+    assert 0 < captured["n_probed"] < captured["n_all"], "query did not skip unprobed buckets"
+
+
+def test_lsh_index_partition_pruning(_ray, tmp_path):
+    """The stored LSH index is (tbl, code)-partitioned, holds n_tables rows
+    per vector, and a bucket-path read prunes to the named buckets."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    idx = str(tmp_path / "lsh")
+    hp = embeddings.build_lsh_index(SF_DIR, idx, n_tables=4, n_bits=4)
+    tbls = sorted(glob.glob(os.path.join(idx, "tbl=*")))
+    assert len(tbls) == 4, "index not partitioned by table"
+    full = rd.read_parquet(idx).count()
+    assert full == 4 * N_DOCS  # one posting per vector per table
+    some = embeddings.probed_bucket_paths(idx, [(0, 0), (0, 1), (1, 3)])
+    assert some and all("/tbl=0/code=0/" in p or "/tbl=0/code=1/" in p
+                        or "/tbl=1/code=3/" in p for p in some)
+    sub = rd.read_parquet(some).count()
+    assert 0 < sub < full, "pruned read did not prune"
+    # hyperplanes are seeded: a rebuild probes identical buckets
+    hp2 = embeddings.build_lsh_index(SF_DIR, str(tmp_path / "lsh2"), n_tables=4, n_bits=4)
+    assert np.array_equal(hp.planes, hp2.planes)
+
+
 def test_ann_ivf_pruned_read_skips_unprobed_cells(_ray, monkeypatch):
     """The IVF query path must physically read ONLY probed cells' files —
     asserts the constructed path list excludes unprobed partitions."""
