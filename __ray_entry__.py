@@ -281,11 +281,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- checked only in round 2 ---
         "document_pipeline": documents.document_pipeline,
         "doc_top_terms_cms": documents.doc_top_terms_cms,
-        # --- checked only in round 3 (fills the window to 50) ---
+        # --- new in round 4 (never checked; fills the window to 50) ---
+        "events_value_mad": relational_ext.events_value_mad,
+        "events_type_transitions": relational_ext.events_type_transitions,
+        "orders_events_window_join": relational_ext.orders_events_window_join,
+        # ------------- tail: green in two or more prior rounds -------------
         "doc_weighted_sample": relational_ext.doc_weighted_sample,
         "doc_balanced_sample": relational_ext.doc_balanced_sample,
         "events_type_pivot": relational_ext.events_type_pivot,
-        # ------------- tail: green in two or more prior rounds -------------
         "events_funnel": relational_ext.events_funnel,
         "events_cohort_retention": relational_ext.events_cohort_retention,
         "doc_chars_zscore": relational_ext.doc_chars_zscore,
@@ -371,6 +374,9 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": relational_ext.EVENTS_PROPS_EXTRACT_SQL,
         "events_weekly_users": relational_ext.EVENTS_WEEKLY_USERS_SQL,
         "events_value_median": relational_ext.EVENTS_VALUE_MEDIAN_SQL,
+        "events_value_mad": relational_ext.EVENTS_VALUE_MAD_SQL,
+        "events_type_transitions": relational_ext.EVENTS_TYPE_TRANSITIONS_SQL,
+        "orders_events_window_join": relational_ext.ORDERS_EVENTS_WINDOW_JOIN_SQL,
         "events_user_gaps": relational_ext.EVENTS_USER_GAPS_SQL,
         "revenue_rollup": relational_ext.REVENUE_ROLLUP_SQL,
         "repeat_customers_intersect": relational_ext.REPEAT_CUSTOMERS_INTERSECT_SQL,

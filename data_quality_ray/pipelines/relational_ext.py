@@ -166,17 +166,24 @@ def events_value_median(sf_dir: str, *, force_distributed: bool = False) -> pd.D
 _MEDIAN_BINS = 8192
 
 
-def _distributed_order_stats(sf_dir: str, ks_of_n) -> tuple[dict, dict]:
+def _distributed_order_stats(sf_dir: str, ks_of_n, src_factory=None) -> tuple[dict, dict]:
     """EXACT per-type order statistics at the ranks ``ks_of_n(n)`` with
     bounded state everywhere: per-type integer domain (pass 1), 8192-bin
     map-side-combined histograms (pass 2, 64 KB partials), then a pruned
     fetch of ONLY the bins containing the requested ranks (pass 3, tiny).
+    ``src_factory`` (default: the events value column in e6 fixed point)
+    must return a Dataset with (event_type, value_e6) — it lets derived
+    integer domains (e.g. MAD's absolute deviations) reuse the machinery.
     Returns ({type: {k: value_e6}}, {type: n})."""
     from ray.data.aggregate import Count, Max, Min
 
-    src = rd.read_parquet(
-        _pq(sf_dir, "events"), columns=["event_type", "value"]
-    ).map_batches(_events_to_e6, batch_format="pyarrow")
+    if src_factory is None:
+        def src_factory():
+            return rd.read_parquet(
+                _pq(sf_dir, "events"), columns=["event_type", "value"]
+            ).map_batches(_events_to_e6, batch_format="pyarrow")
+
+    src = src_factory()
 
     # pass 1: per-type integer domain + count
     dom = (
@@ -327,6 +334,96 @@ FROM events GROUP BY event_type ORDER BY event_type
 EVENTS_VALUE_MEDIAN_SQL = """
 SELECT event_type,
        median(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_value_mad(sf_dir: str, *, force_distributed: bool = False) -> pd.DataFrame:
+    """Median absolute deviation of value per event type — the robust-σ
+    companion to ``events_value_stats`` (outlier-resistant scale estimate;
+    the standard spread statistic for quality-score distributions).
+
+    Exactness: all math in 2× e6 fixed point so the interpolated median
+    never leaves integers until the final divide — ``med2 = v_lo + v_hi``
+    (twice the median), ``dev2 = |2·v − med2|`` (integer), and
+    ``mad = median(dev2) / 2``; bit-identical to DuckDB ``mad()``.
+
+    Size gate (the events_value_median contract): small inputs take the
+    in-group selection path (event_type is a tiny vocabulary, so the key
+    is bounded); large inputs (or ``force_distributed``) run TWO rounds of
+    the bounded-state histogram-refine machinery — one for the median,
+    one over the derived deviation domain via ``src_factory``."""
+    import pyarrow.parquet as _pqm
+
+    def _mad_from_dev2(dev2_sorted_pair: tuple[float, float], odd: bool) -> float:
+        return _median_from_sorted_pair(*dev2_sorted_pair, odd) / 2.0
+
+    n_rows = _pqm.ParquetFile(_pq(sf_dir, "events")).metadata.num_rows
+    if not (force_distributed or n_rows > MEDIAN_INGROUP_LIMIT):
+
+        def mad(g: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(g["value_e6"].to_numpy())
+            n = len(v)
+            med2 = int(v[(n - 1) // 2]) + int(v[n // 2])
+            dev2 = np.sort(np.abs(2 * v - med2))
+            m = _mad_from_dev2(
+                (float(dev2[(n - 1) // 2]), float(dev2[n // 2])), odd=bool(n % 2)
+            )
+            return pd.DataFrame(
+                {"event_type": [g["event_type"].iloc[0]], "mad_value": [m / 1_000_000.0]}
+            )
+
+        out = (
+            rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+            .map_batches(_events_to_e6, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(mad, batch_format="pandas")
+            .to_pandas()
+        )
+        return out.sort_values("event_type").reset_index(drop=True)
+
+    med_ks = lambda n: [(n - 1) // 2, n // 2]  # noqa: E731
+    med_stats, ns = _distributed_order_stats(sf_dir, med_ks)
+    med2 = {
+        t: int(med_stats[t][(ns[t] - 1) // 2]) + int(med_stats[t][ns[t] // 2])
+        for t in med_stats
+    }
+    mref = ray.put(med2)
+
+    def dev_factory():
+        def to_dev2(t: pa.Table) -> pa.Table:
+            med2_ = ray.get(mref)
+            e6 = pc.cast(
+                pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
+                pa.int64(),
+            ).to_numpy()
+            m2 = pd.Series(t["event_type"].to_pylist()).map(med2_).to_numpy(np.int64)
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "value_e6": pa.array(np.abs(2 * e6 - m2), pa.int64()),
+                }
+            )
+
+        return rd.read_parquet(
+            _pq(sf_dir, "events"), columns=["event_type", "value"]
+        ).map_batches(to_dev2, batch_format="pyarrow")
+
+    dev_stats, dns = _distributed_order_stats(sf_dir, med_ks, src_factory=dev_factory)
+    rows = []
+    for t in sorted(dev_stats):
+        n = dns[t]
+        k1, k2 = (n - 1) // 2, n // 2
+        m = _mad_from_dev2(
+            (float(dev_stats[t][k1]), float(dev_stats[t][k2])), odd=(k1 == k2)
+        )
+        rows.append({"event_type": t, "mad_value": m / 1_000_000.0})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_VALUE_MAD_SQL = """
+SELECT event_type,
+       mad(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS mad_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1982,6 +2079,209 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_type_transitions(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
+    """Corpus-wide event-type transition counts (prev_type → next_type over
+    each user's (ts, event_id)-ordered stream) — distributed first-order
+    Markov-chain training, the sequence-model companion to
+    ``train_char_lm_counts``.
+
+    Shape: ONE bounded user-sharded shuffle; inside the shard one sort +
+    one array shift (user boundaries masked) emits every user's adjacent
+    pairs at once, pre-aggregated to (prev, next, n) — a ≤|vocab|² partial
+    per shard — then a tiny vectorized ``groupby.aggregate(Sum)`` merges
+    shards. Never one Ray UDF call per user."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": ts_us(t["ts"]),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "pkey": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_pkeys - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [], "n": []}).astype(
+                {"prev_type": str, "next_type": str, "n": np.int64}
+            )
+        same_user = u[1:] == u[:-1]
+        part = (
+            pd.DataFrame({"prev_type": et[:-1][same_user], "next_type": et[1:][same_user]})
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return part
+
+    out = (
+        rd.read_parquet(
+            _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(pairs_shard, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fact×fact forward interval join: events within 7 days after each order
+# ---------------------------------------------------------------------------
+
+WINDOW_JOIN_DAYS = 7
+
+
+def orders_events_window_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Per order: count and e6-fixed-point value sum of the SAME user's
+    events with ts in the half-open forward window
+    (o_orderdate, o_orderdate + 7 days] — a fact×fact INTERVAL join with a
+    grouped aggregate (the post-purchase attribution shape). LEFT
+    semantics: orders with no window events emit zeros.
+
+    Scale shape: BOTH fact tables are co-partitioned by one bounded
+    ``hash(user) & 63`` bucket via a tagged union (the bucketed-join
+    machinery) — each bucket holds every row needed to answer its own
+    orders, so the shard output is final with no second shuffle. Inside a
+    shard the window bounds for ALL orders come from TWO composite-key
+    searchsorteds over the time-sorted event rows (user-rank·M + Δt, M
+    sized from the actual span — orders span years, so no fixed 2^42
+    assumption; the rank·M < 2^63 guard raises before any silent wrap),
+    and the sums are prefix-cumsum differences — never a per-user or
+    per-order Python loop."""
+    window_us = WINDOW_JOIN_DAYS * 86_400_000_000
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        e6 = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(1_000_000.0)), round_mode="half_up"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "key": t["user_id"],
+                "t_us": ts_us(t["ts"]),
+                "kind": pa.array(np.ones(t.num_rows, np.int8)),
+                "val_e6": e6,
+                "o_orderkey": pa.array(np.zeros(t.num_rows, np.int64)),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["user_id"], pa.scalar(n_buckets - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_custkey"],
+                "t_us": ts_us(t["o_orderdate"]),
+                "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+                "val_e6": pa.array(np.zeros(t.num_rows, np.int64)),
+                "o_orderkey": t["o_orderkey"],
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["o_custkey"], pa.scalar(n_buckets - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["kind"] == 0]
+        ev = g[g["kind"] == 1].sort_values(["key", "t_us"], kind="mergesort")
+        if len(od) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_events": [], "value_e6_sum": []}
+            ).astype({"o_orderkey": np.int64, "n_events": np.int64, "value_e6_sum": np.int64})
+        okeys = od["o_orderkey"].to_numpy()
+        n_ev = np.zeros(len(od), np.int64)
+        s_ev = np.zeros(len(od), np.int64)
+        if len(ev):
+            eu = ev["key"].to_numpy()
+            et = ev["t_us"].to_numpy()
+            val = ev["val_e6"].to_numpy()
+            uids, starts = np.unique(eu, return_index=True)
+            ends = np.append(starts[1:], len(eu))
+            t0 = min(int(et.min()), int(od["t_us"].min()))
+            span = max(int(et.max()), int(od["t_us"].max()) + window_us) - t0 + 1
+            if len(uids) * span >= (1 << 63):
+                raise ValueError(
+                    "orders_events_window_join: rank*span composite key would "
+                    "overflow int64; shrink the bucket or window before wrap"
+                )
+            erank = np.searchsorted(uids, eu)
+            ekey = erank * span + (et - t0)
+            orank = np.searchsorted(uids, od["key"].to_numpy())
+            orank = np.minimum(orank, len(uids) - 1)
+            has_ev = uids[orank] == od["key"].to_numpy()
+            ot = od["t_us"].to_numpy()
+            lo = np.searchsorted(ekey, orank * span + (ot - t0), side="right")
+            hi = np.searchsorted(ekey, orank * span + (ot + window_us - t0), side="right")
+            lo = np.clip(lo, starts[orank], ends[orank])
+            hi = np.clip(hi, starts[orank], ends[orank])
+            cum = np.concatenate(([0], np.cumsum(val)))
+            n_ev = np.where(has_ev, hi - lo, 0).astype(np.int64)
+            s_ev = np.where(has_ev, cum[hi] - cum[lo], 0).astype(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": okeys, "n_events": n_ev, "value_e6_sum": s_ev}
+        )
+
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    od = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    out = (
+        ev.union(od)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_EVENTS_WINDOW_JOIN_SQL = f"""
+SELECT o.o_orderkey,
+       CAST(count(e.ts) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CAST(round(e.value * 1000000) AS BIGINT)), 0) AS BIGINT)
+         AS value_e6_sum
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts > o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL {WINDOW_JOIN_DAYS} DAY
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
 """
 
 

@@ -137,3 +137,111 @@ def test_events_anomaly_flags_planted_outlier(ray_session, tmp_path):
     assert bool(got.loc[got["event_id"] == 25, "is_anomaly"].iloc[0]) is True
     assert int(got["is_anomaly"].sum()) >= 1
     assert not got.loc[got["event_id"] < 25, "is_anomaly"].any()
+
+
+def test_mad_distributed_path_matches_ingroup_and_oracle(_ray):
+    """events_value_mad's TWO-round histogram-refine path (forced) must
+    equal the in-group selection path bit-for-bit AND DuckDB mad()."""
+    import numpy as np
+
+    from data_quality_ray.pipelines import relational_ext as rx
+
+    a = rx.events_value_mad(SF_DIR)
+    b = rx.events_value_mad(SF_DIR, force_distributed=True)
+    assert np.array_equal(
+        a["mad_value"].to_numpy().view("int64"),
+        b["mad_value"].to_numpy().view("int64"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp = con.execute(rx.EVENTS_VALUE_MAD_SQL).df()
+    assert np.array_equal(
+        b["mad_value"].to_numpy().view("int64"),
+        exp["mad_value"].to_numpy().view("int64"),
+    )
+
+
+def test_window_join_boundary_semantics(ray_session, tmp_path):
+    """Planted boundary rows pin the interval's half-open semantics: an
+    event AT the orderdate is excluded (strict >), one exactly 7 days
+    later is included (<=), one 7 days + 1 µs later is excluded — and a
+    user with zero events emits zeros (LEFT join)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_ray.pipelines import relational_ext as rx
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t0 = pd.Timestamp("1995-06-01")
+    week = pd.Timedelta(days=7)
+    us = pd.Timedelta(microseconds=1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [10, 20],
+            "o_orderdate": [t0, t0],
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "user_id": [10, 10, 10, 10],
+            "ts": [t0, t0 + us, t0 + week, t0 + week + us],
+            "value": [1.0, 2.0, 4.0, 8.0],
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["a"] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    orders.to_parquet(sf / "orders.parquet", index=False)
+    events.to_parquet(sf / "events.parquet", index=False)
+
+    out = rx.orders_events_window_join(str(sf))
+    got = out.set_index("o_orderkey")
+    # order 1 (user 10): excludes the t0 event and the t0+7d+1µs event
+    assert int(got.loc[1, "n_events"]) == 2
+    assert int(got.loc[1, "value_e6_sum"]) == 6_000_000
+    # order 2 (user 20): no events at all → LEFT-join zeros
+    assert int(got.loc[2, "n_events"]) == 0
+    assert int(got.loc[2, "value_e6_sum"]) == 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    exp = con.execute(rx.ORDERS_EVENTS_WINDOW_JOIN_SQL).df()
+    assert np.array_equal(out["n_events"].to_numpy(), exp["n_events"].to_numpy())
+    assert np.array_equal(
+        out["value_e6_sum"].to_numpy(), exp["value_e6_sum"].to_numpy()
+    )
+
+
+def test_type_transitions_user_boundary(ray_session, tmp_path):
+    """Adjacent rows of DIFFERENT users must not emit a transition; order
+    within a user follows (ts, event_id)."""
+    import pandas as pd
+
+    from data_quality_ray.pipelines import relational_ext as rx
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    events = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [t0, t0 + s, t0 + s, t0 + 2 * s, t0 + 3 * s],
+            "event_id": [1, 3, 2, 4, 5],
+            "event_type": ["a", "c", "b", "x", "y"],
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    events.to_parquet(sf / "events.parquet", index=False)
+    out = rx.events_type_transitions(str(sf))
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    # user 1: a→b (event_id tie-break puts 2 before 3), b→c; user 2: x→y
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("x", "y"): 1}
