@@ -276,8 +276,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_force": embeddings.ann_brute_force,
         "ann_lsh": embeddings.ann_lsh,
         "ann_ivf": embeddings.ann_ivf,
-        "embedding_near_dup": embeddings.embedding_near_dup,
-        "clip_audio_embeddings": _q_clip_audio_embeddings,
         # --- checked only in round 2 ---
         "document_pipeline": documents.document_pipeline,
         "doc_top_terms_cms": documents.doc_top_terms_cms,
@@ -285,7 +283,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": relational_ext.events_value_mad,
         "events_type_transitions": relational_ext.events_type_transitions,
         "orders_events_window_join": relational_ext.orders_events_window_join,
+        "doc_reg_by_lang": documents.doc_reg_by_lang,
+        "events_value_quantile_sketch": relational_ext.events_value_quantile_sketch,
         # ------------- tail: green in two or more prior rounds -------------
+        "clip_audio_embeddings": _q_clip_audio_embeddings,
+        "embedding_near_dup": embeddings.embedding_near_dup,
         "doc_weighted_sample": relational_ext.doc_weighted_sample,
         "doc_balanced_sample": relational_ext.doc_balanced_sample,
         "events_type_pivot": relational_ext.events_type_pivot,
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": documents.DOC_LENGTH_HISTOGRAM_SQL,
         "train_char_lm_counts": documents.TRAIN_CHAR_LM_COUNTS_SQL,
         "train_quality_reg_stats": documents.TRAIN_QUALITY_REG_STATS_SQL,
+        "doc_reg_by_lang": documents.DOC_REG_BY_LANG_SQL,
         "doc_tfidf_top_terms": documents.DOC_TFIDF_TOP_TERMS_SQL,
         "term_postings": documents.TERM_POSTINGS_SQL,
         "doc_repetition_stats": documents.DOC_REPETITION_STATS_SQL,

@@ -149,3 +149,96 @@ def bloom_might_contain(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
     byte_idx, bit_idx = _bloom_probes(keys)
     hit = (bits[byte_idx] >> bit_idx) & np.uint8(1)
     return hit.all(axis=1).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch (Masson, Rim, Lee — VLDB 2019, public algorithm): mergeable
+# quantile sketch with a RELATIVE-error guarantee. Log-γ bucket index
+# per value; merge = add bucket counts (associative/commutative, so it is
+# map-side combinable and bit-deterministic at any parallelism). Negative
+# values go to a mirrored store; zeros to a scalar counter.
+# ---------------------------------------------------------------------------
+
+DD_ALPHA = 0.005  # guaranteed |q̂ − q| ≤ α·|q| per returned quantile
+_DD_GAMMA = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+_DD_LOG_GAMMA = np.log(_DD_GAMMA)
+
+
+def dd_empty() -> dict:
+    """{bucket_index: count} for positives / negatives + zero count."""
+    return {"pos": {}, "neg": {}, "zero": 0}
+
+
+def _dd_indices(v: np.ndarray) -> np.ndarray:
+    return np.ceil(np.log(v) / _DD_LOG_GAMMA).astype(np.int64)
+
+
+def dd_accumulate(sk: dict, values: np.ndarray) -> dict:
+    """Fold a float array into the sketch (vectorized bincount per sign)."""
+    v = np.asarray(values, dtype=np.float64)
+    sk["zero"] += int((v == 0.0).sum())
+    for key, arr in (("pos", v[v > 0]), ("neg", -v[v < 0])):
+        if len(arr) == 0:
+            continue
+        idx = _dd_indices(arr)
+        store = sk[key]
+        for i, c in zip(*np.unique(idx, return_counts=True)):
+            store[int(i)] = store.get(int(i), 0) + int(c)
+    return sk
+
+
+def dd_merge(a: dict, b: dict) -> dict:
+    out = {"pos": dict(a["pos"]), "neg": dict(a["neg"]), "zero": a["zero"] + b["zero"]}
+    for key in ("pos", "neg"):
+        store = out[key]
+        for i, c in b[key].items():
+            store[i] = store.get(i, 0) + c
+    return out
+
+
+def dd_count(sk: dict) -> int:
+    return sk["zero"] + sum(sk["pos"].values()) + sum(sk["neg"].values())
+
+
+def dd_quantile(sk: dict, q: float) -> float:
+    """Approximate q-quantile (rank = floor(q·(n−1)), lower semantics):
+    walk negatives ascending (most-negative first), then zeros, then
+    positives ascending; return the bucket's γ-midpoint value."""
+    n = dd_count(sk)
+    if n == 0:
+        raise ValueError("dd_quantile on an empty sketch")
+    rank = int(np.floor(q * (n - 1)))
+    seen = 0
+    for i in sorted(sk["neg"], reverse=True):  # −γ^i: big i = most negative
+        seen += sk["neg"][i]
+        if seen > rank:
+            return -2.0 * _DD_GAMMA ** i / (_DD_GAMMA + 1.0)
+    seen += sk["zero"]
+    if sk["zero"] and seen > rank:
+        return 0.0
+    for i in sorted(sk["pos"]):
+        seen += sk["pos"][i]
+        if seen > rank:
+            return 2.0 * _DD_GAMMA ** i / (_DD_GAMMA + 1.0)
+    raise AssertionError("rank walk exhausted the sketch")  # unreachable
+
+
+def dd_serialize(sk: dict) -> bytes:
+    """Compact wire form for shuffle partials: int64 triples array."""
+    rows = [(0, 0, sk["zero"])]
+    rows += [(1, i, c) for i, c in sorted(sk["pos"].items())]
+    rows += [(-1, i, c) for i, c in sorted(sk["neg"].items())]
+    return np.array(rows, dtype=np.int64).tobytes()
+
+
+def dd_deserialize(buf: bytes) -> dict:
+    arr = np.frombuffer(buf, dtype=np.int64).reshape(-1, 3)
+    sk = dd_empty()
+    for sign, i, c in arr:
+        if sign == 0:
+            sk["zero"] = int(c)
+        elif sign == 1:
+            sk["pos"][int(i)] = int(c)
+        else:
+            sk["neg"][int(i)] = int(c)
+    return sk

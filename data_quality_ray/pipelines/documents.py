@@ -608,6 +608,78 @@ def quality_regression_coeffs(sf_dir: str) -> "tuple[np.ndarray, float]":
     return beta, 1.0 - ss_res / ss_tot
 
 
+def doc_reg_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-LANGUAGE linear fit chars ~ b0 + b1·ws_tokens — grouped
+    distributed model training: each batch emits per-lang integer
+    sufficient-stat partials (map-side combine at language grain), ONE
+    tiny ``groupby(lang).aggregate(Sum×5)`` merges them, and the 2×2
+    closed form runs once per language on exact integers. Both sides
+    evaluate the identical double expression, so b0/b1 hash-match the
+    oracle at any parallelism (the per-group extension of
+    ``train_quality_reg_stats``; same ≤1e8-per-doc-product int64 bound)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ws = np.array([len(T.ws_tokens(x)) for x in texts], dtype=np.int64)
+        y = np.array([len(x) for x in texts], dtype=np.int64)
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pylist(), "n": 1, "sx": ws, "sxx": ws * ws,
+             "sy": y, "sxy": ws * y}
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    s = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("sx", alias_name="sx"),
+            _Sum("sxx", alias_name="sxx"),
+            _Sum("sy", alias_name="sy"),
+            _Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = s["n"].to_numpy().astype(np.float64)
+    sx = s["sx"].to_numpy().astype(np.float64)
+    sxx = s["sxx"].to_numpy().astype(np.float64)
+    sy = s["sy"].to_numpy().astype(np.float64)
+    sxy = s["sxy"].to_numpy().astype(np.float64)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    out = pd.DataFrame(
+        {"lang": s["lang"], "n_docs": s["n"].astype(np.int64), "b1": b1, "b0": b0}
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+DOC_REG_BY_LANG_SQL = r"""
+WITH f AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+         CAST(length(text) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+         CAST(CAST(sum(ws) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(ws * ws) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(ws * y) AS BIGINT) AS DOUBLE) AS sxy
+  FROM f GROUP BY lang
+)
+SELECT lang, n_docs,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+FROM s ORDER BY lang
+"""
+
+
 TRAIN_QUALITY_REG_STATS_SQL = r"""
 WITH f AS (
   SELECT len(regexp_extract_all(text, '\S+')) AS ws,

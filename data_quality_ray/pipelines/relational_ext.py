@@ -984,6 +984,51 @@ def events_user_hll(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p95/p99 of value per event type via a from-scratch
+    DDSketch (functions/sketches.py — Masson et al. 2019) run as a proper
+    distributed aggregate: every batch folds its values into per-type
+    log-γ bucket partials (map-side combine — KBs per type per block,
+    never the values), the groupby merges bucket counts (associative, so
+    the result is BIT-deterministic at any parallelism), and only the
+    final quantiles materialize. Guaranteed relative error ≤ α = 0.5% per
+    quantile — accuracy AND merge-equality are test-gated vs the exact
+    order-statistic machinery; no SQL oracle by design (the exact
+    counterparts are events_value_median / events_value_quantiles)."""
+    from data_quality_ray.functions import sketches as sk
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in b.groupby("event_type"):
+            s = sk.dd_accumulate(sk.dd_empty(), g["value"].to_numpy())
+            rows.append({"event_type": etype, "sketch": sk.dd_serialize(s)})
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from data_quality_ray.functions import sketches as sk_
+
+        acc = sk_.dd_empty()
+        for buf in g["sketch"]:
+            acc = sk_.dd_merge(acc, sk_.dd_deserialize(buf))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [sk_.dd_quantile(acc, 0.50)],
+                "p95": [sk_.dd_quantile(acc, 0.95)],
+                "p99": [sk_.dd_quantile(acc, 0.99)],
+            }
+        )
+
+    out = (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Pearson correlation from exact integer moments
 # ---------------------------------------------------------------------------

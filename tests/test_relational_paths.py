@@ -245,3 +245,26 @@ def test_type_transitions_user_boundary(ray_session, tmp_path):
     got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
     # user 1: a→b (event_id tie-break puts 2 before 3), b→c; user 2: x→y
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("x", "y"): 1}
+
+
+def test_quantile_sketch_error_bound_and_determinism(_ray):
+    """The DDSketch quantile aggregate must sit within its α relative-error
+    guarantee of the exact lower-rank quantile per event type, and be
+    bit-identical across runs (bucket-count merge is associative)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_ray.functions import sketches as sk
+    from data_quality_ray.pipelines import relational_ext as rx
+
+    a = rx.events_value_quantile_sketch(SF_DIR)
+    b = rx.events_value_quantile_sketch(SF_DIR)
+    assert a.equals(b), "sketch aggregate not deterministic"
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    for _, row in a.iterrows():
+        v = np.sort(ev[ev["event_type"] == row["event_type"]]["value"].to_numpy())
+        for q, col in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99")):
+            exact = v[int(np.floor(q * (len(v) - 1)))]
+            rel = abs(row[col] - exact) / max(abs(exact), 1e-12)
+            assert rel <= sk.DD_ALPHA + 1e-9, (row["event_type"], col, rel)
