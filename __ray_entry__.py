@@ -271,7 +271,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_flags": relational_ext.events_anomaly_flags,
         # --- checked only in round 1 ---
         "minhash_dedup": dedup.minhash_dedup,
-        "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_brute_force": embeddings.ann_brute_force,
         "ann_lsh": embeddings.ann_lsh,
@@ -285,9 +284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_window_join": relational_ext.orders_events_window_join,
         "doc_reg_by_lang": documents.doc_reg_by_lang,
         "events_value_quantile_sketch": relational_ext.events_value_quantile_sketch,
+        "doc_shuffle_shards": documents.doc_shuffle_shards,
         # ------------- tail: green in two or more prior rounds -------------
         "clip_audio_embeddings": _q_clip_audio_embeddings,
         "embedding_near_dup": embeddings.embedding_near_dup,
+        "simhash_dedup": dedup.simhash_dedup,
         "doc_weighted_sample": relational_ext.doc_weighted_sample,
         "doc_balanced_sample": relational_ext.doc_balanced_sample,
         "events_type_pivot": relational_ext.events_type_pivot,
@@ -414,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "train_char_lm_counts": documents.TRAIN_CHAR_LM_COUNTS_SQL,
         "train_quality_reg_stats": documents.TRAIN_QUALITY_REG_STATS_SQL,
         "doc_reg_by_lang": documents.DOC_REG_BY_LANG_SQL,
+        "doc_shuffle_shards": documents.DOC_SHUFFLE_SHARDS_SQL,
         "doc_tfidf_top_terms": documents.DOC_TFIDF_TOP_TERMS_SQL,
         "term_postings": documents.TERM_POSTINGS_SQL,
         "doc_repetition_stats": documents.DOC_REPETITION_STATS_SQL,

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from data_quality_ray import config
@@ -678,6 +679,89 @@ SELECT lang, n_docs,
        (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
 FROM s ORDER BY lang
 """
+
+
+def doc_shuffle_shards(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """Deterministic global pseudo-shuffle into training shards — the
+    export-ordering step of a training pipeline (content-keyed, so the
+    shard assignment AND the within-shard order are identical at any
+    parallelism, unlike ``random_shuffle``): shard = md5-prefix % n_shards,
+    within-shard position = rank by (md5 hex, doc_id).
+
+    Scale shape: positions come from a TWO-PHASE distributed rank, never a
+    global sort or a shard-sized group. The first 2 hex digits define 256
+    sub-buckets that are PREFIX blocks of the md5 order, so (1) a tiny
+    ``groupby(sub).Count`` gives every sub-bucket's size (≤256 rows to the
+    driver), (2) ascending-sub cumsums per shard are the global offsets,
+    and (3) one bounded 256-way ``groupby(sub)`` ranks locally and adds
+    the broadcast offset. Pair a non-default ``n_shards`` with
+    ``doc_shuffle_shards_sql(n_shards)``."""
+    import hashlib
+
+    from ray.data.aggregate import Count as _Count
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        sub = np.array([int(h[:2], 16) for h in hx], dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "hx": pa.array(hx, pa.string()),
+                "sub": pa.array(sub),
+                "shard": pa.array((sub % n_shards).astype(np.int64)),
+            }
+        )
+
+    src = _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+    counts = (
+        src.groupby("sub").aggregate(_Count(alias_name="n")).to_pandas()
+        .sort_values("sub")
+    )
+    offsets: dict[int, int] = {}
+    seen_per_shard = {s: 0 for s in range(n_shards)}
+    for sub, n in zip(counts["sub"], counts["n"]):
+        sh = int(sub) % n_shards
+        offsets[int(sub)] = seen_per_shard[sh]
+        seen_per_shard[sh] += int(n)
+    oref = ray.put(offsets)
+
+    def rank_sub(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["sub"].iloc[0])]
+        g = g.sort_values(["hx", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": off + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    out = (
+        src.groupby("sub")
+        .map_groups(rank_sub, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_shuffle_shards_sql(n_shards: int = 8) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           % {n_shards} AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h ORDER BY doc_id
+"""
+
+
+DOC_SHUFFLE_SHARDS_SQL = doc_shuffle_shards_sql()
 
 
 TRAIN_QUALITY_REG_STATS_SQL = r"""

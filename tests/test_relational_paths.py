@@ -268,3 +268,27 @@ def test_quantile_sketch_error_bound_and_determinism(_ray):
             exact = v[int(np.floor(q * (len(v) - 1)))]
             rel = abs(row[col] - exact) / max(abs(exact), 1e-12)
             assert rel <= sk.DD_ALPHA + 1e-9, (row["event_type"], col, rel)
+
+
+def test_doc_shuffle_shards_param_sync_and_contiguity(_ray):
+    """Non-default n_shards must stay in lockstep with its GENERATED oracle
+    (the parameterized-query invariant), and within-shard positions must be
+    a contiguous 0..n-1 run (the property shard consumers rely on)."""
+    import numpy as np
+
+    from data_quality_ray.pipelines import documents as D
+
+    out = D.doc_shuffle_shards(SF_DIR, n_shards=4)
+    assert set(out["shard"].unique()) <= set(range(4))
+    for _, g in out.groupby("shard"):
+        assert np.array_equal(np.sort(g["pos"].to_numpy()), np.arange(len(g)))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = con.execute(D.doc_shuffle_shards_sql(4)).df()
+    for c in ("doc_id", "shard", "pos"):
+        assert np.array_equal(
+            out[c].to_numpy().astype("int64"), exp[c].to_numpy().astype("int64")
+        ), c
