@@ -151,6 +151,12 @@ def _q_clip_fingerprint_matches(sf_dir: str):
     return clip_fingerprint_matches(_clip_dir(sf_dir), limit=600)
 
 
+def _q_clip_multimodal_consensus(sf_dir: str):
+    from data_quality_ray.pipelines.multimodal_dedup import clip_multimodal_consensus
+
+    return clip_multimodal_consensus(_clip_dir(sf_dir), limit=300)
+
+
 def _q_image_near_dup(sf_dir: str):
     from data_quality_ray.pipelines.multimodal_dedup import image_near_dup
 
@@ -273,7 +279,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_brute_force": embeddings.ann_brute_force,
-        "ann_lsh": embeddings.ann_lsh,
         "ann_ivf": embeddings.ann_ivf,
         # --- checked only in round 2 ---
         "document_pipeline": documents.document_pipeline,
@@ -285,7 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_reg_by_lang": documents.doc_reg_by_lang,
         "events_value_quantile_sketch": relational_ext.events_value_quantile_sketch,
         "doc_shuffle_shards": documents.doc_shuffle_shards,
+        "clip_multimodal_consensus": _q_clip_multimodal_consensus,
         # ------------- tail: green in two or more prior rounds -------------
+        "ann_lsh": embeddings.ann_lsh,
         "clip_audio_embeddings": _q_clip_audio_embeddings,
         "embedding_near_dup": embeddings.embedding_near_dup,
         "simhash_dedup": dedup.simhash_dedup,

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from data_quality_ray.functions import codecs
@@ -539,3 +540,123 @@ def clip_fingerprint_matches(
         FP_MIN_VOTES if min_votes is None else min_votes,
         FP_MAX_HASH_GROUP if max_hash_group is None else max_hash_group,
     )
+
+
+def clip_multimodal_consensus(
+    clips_dir: str,
+    limit: int = 600,
+    shift_frames: int = 8,
+    text_threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Multimodal dedup consensus: every audio-fingerprint content match is
+    CONFIRMED or CONTRADICTED by transcript evidence — the two independent
+    identity signals a real clip corpus carries (a re-uploaded recording
+    keeps its audio; a re-transcribed or re-captioned copy changes only
+    the text). Catches what either modality alone mislabels: same audio +
+    same transcript = a true duplicate ("both"); same audio + rewritten
+    transcript = re-captioned content ("audio_only", keep for text
+    diversity but dedup for audio training).
+
+    Planted corpus (the synthetic table is duplicate-free): each base clip
+    gets a transcode+silence-shift copy at id + DUP_OFFSET; EVEN source
+    ids keep the transcript verbatim (expected verdict "both"), ODD ids
+    get a reworded transcript (expected "audio_only") — parity-pinned in
+    tests.
+
+    Scale shape: the audio side is the shared bounded-shard landmark
+    kernel (:func:`landmark_match_pairs`); the text evidence is
+    pair-BOUNDED — matched ids broadcast once, ONE distributed pass
+    collects only those clips' 512-byte minhash signatures + an
+    md5 fingerprint (never transcripts, never unmatched rows), and the
+    driver-side jaccard estimate is an aligned signature compare (the
+    clip_ingest "bounded by match pairs" contract)."""
+    import hashlib
+
+    from data_quality_ray.functions import text as T
+    from data_quality_ray.pipelines.dedup import _get_minhasher, _shingle_hashes
+    from data_quality_ray.stages.fingerprint import (
+        FP_MAX_HASH_GROUP,
+        FP_MIN_VOTES,
+        clip_key,
+        fingerprint_batch,
+    )
+
+    base = rd.read_parquet(
+        clips_dir, columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"]
+    ).limit(limit)
+
+    def plant(t: pa.Table) -> pa.Table:
+        audio = transcode_shift_copies(
+            t.select(["clip_id", "bytes", "sr_hz", "codec"]), DUP_OFFSET, shift_frames
+        )
+        # re-attach transcripts by source num (copies may drop undecodable
+        # rows, so map rather than assume positional alignment)
+        src_tx = {
+            clip_key(c): x
+            for c, x in zip(t["clip_id"].to_pylist(), t["transcript"].to_pylist())
+        }
+        tx = []
+        for cid in audio["clip_id"].to_pylist():
+            num = clip_key(cid) - DUP_OFFSET
+            orig = src_tx[num] or ""
+            if num % 2:  # odd source: reworded transcript (audio-only copy)
+                tx.append("reworded " + " ".join(reversed(orig.split())) + f" variant {num}")
+            else:  # even source: verbatim transcript (true duplicate)
+                tx.append(orig)
+        return audio.append_column("transcript", pa.array(tx, pa.string()))
+
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+
+    pairs = landmark_match_pairs(
+        ds.map_batches(fingerprint_batch, batch_format="pyarrow"),
+        FP_MIN_VOTES,
+        FP_MAX_HASH_GROUP,
+    )
+    if len(pairs) == 0:
+        return pairs.assign(
+            text_jaccard_est=pd.Series(dtype=np.float64),
+            text_exact=pd.Series(dtype=bool),
+            verdict=pd.Series(dtype=str),
+        )
+
+    needed = ray.put(frozenset(map(int, np.union1d(pairs["a"], pairs["b"]))))
+    mh = _get_minhasher(64)
+
+    def text_evidence(t: pa.Table) -> pa.Table:
+        need = ray.get(needed)
+        nums, sigs, md5s = [], [], []
+        for cid, x in zip(t["clip_id"].to_pylist(), t["transcript"].to_pylist()):
+            num = clip_key(cid)
+            if num not in need:
+                continue
+            norm = T.normalize_for_fingerprint(x or "")
+            nums.append(num)
+            sigs.append(mh.signature(_shingle_hashes(x or "")).tolist())
+            md5s.append(hashlib.md5(norm.encode()).hexdigest())
+        return pa.table(
+            {
+                "num": pa.array(nums, pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.uint64())),
+                "md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    ev = ds.map_batches(text_evidence, batch_format="pyarrow").to_pandas()
+    sig_of = {int(n): np.asarray(s, dtype=np.uint64) for n, s in zip(ev["num"], ev["sig"])}
+    md5_of = dict(zip(ev["num"].astype(int), ev["md5"]))
+
+    est = np.array(
+        [
+            float(np.mean(sig_of[int(a)] == sig_of[int(b)]))
+            for a, b in zip(pairs["a"], pairs["b"])
+        ]
+    )
+    exact = np.array(
+        [md5_of[int(a)] == md5_of[int(b)] for a, b in zip(pairs["a"], pairs["b"])]
+    )
+    out = pairs.assign(
+        text_jaccard_est=est,
+        text_exact=exact,
+        verdict=np.where(exact | (est >= text_threshold), "both", "audio_only"),
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

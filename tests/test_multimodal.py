@@ -284,3 +284,30 @@ def test_clip_mfcc_features_over_ray(ray_session, clips_dir_1k):
     assert (ok["mfcc_std"].map(len) == N_MFCC).all()
     assert ok["mfcc_std"].map(lambda v: float(np.max(v))).gt(0).all()
     assert (~out[~out["decode_ok"]]["mfcc_mean"].map(len).astype(bool)).all()
+
+
+def test_clip_multimodal_consensus_parity_verdicts(ray_session, clips_dir_1k):
+    """Planted copies alternate verbatim/reworded transcripts by source-id
+    parity: every even-source planted pair must read verdict 'both' (exact
+    text), every odd-source pair 'audio_only' (low jaccard estimate) —
+    the two-signal consensus cannot cross-contaminate."""
+    import numpy as np
+
+    from data_quality_ray.pipelines.multimodal_dedup import (
+        DUP_OFFSET,
+        clip_multimodal_consensus,
+    )
+
+    out = clip_multimodal_consensus(clips_dir_1k, limit=120)
+    planted = out[(out["b"] - out["a"]) == DUP_OFFSET]
+    assert len(planted) >= 100  # most of the 120 decode and match
+    even = planted[planted["a"] % 2 == 0]
+    odd = planted[planted["a"] % 2 == 1]
+    assert len(even) and len(odd)
+    assert (even["verdict"] == "both").all()
+    assert even["text_exact"].all()
+    assert (odd["verdict"] == "audio_only").all()
+    assert (odd["text_jaccard_est"] < 0.5).all()
+    # audio evidence present on every planted pair at the exact offset
+    assert (planted["dt_frames"] == 8).all()
+    assert (planted["votes"] > 0).all()
