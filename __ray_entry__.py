@@ -157,6 +157,12 @@ def _q_clip_multimodal_consensus(sf_dir: str):
     return clip_multimodal_consensus(_clip_dir(sf_dir), limit=300)
 
 
+def _q_events_sessions_streaming(sf_dir: str):
+    from data_quality_ray.pipelines.streaming import streaming_sessions
+
+    return streaming_sessions(sf_dir)
+
+
 def _q_image_near_dup(sf_dir: str):
     from data_quality_ray.pipelines.multimodal_dedup import image_near_dup
 
@@ -276,7 +282,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": relational_ext.events_value_ntile,
         "events_anomaly_flags": relational_ext.events_anomaly_flags,
         # --- checked only in round 1 ---
-        "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_brute_force": embeddings.ann_brute_force,
         "ann_ivf": embeddings.ann_ivf,
@@ -291,8 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantile_sketch": relational_ext.events_value_quantile_sketch,
         "doc_shuffle_shards": documents.doc_shuffle_shards,
         "clip_multimodal_consensus": _q_clip_multimodal_consensus,
+        "events_sessions_streaming": _q_events_sessions_streaming,
         # ------------- tail: green in two or more prior rounds -------------
         "ann_lsh": embeddings.ann_lsh,
+        "minhash_dedup": dedup.minhash_dedup,
         "clip_audio_embeddings": _q_clip_audio_embeddings,
         "embedding_near_dup": embeddings.embedding_near_dup,
         "simhash_dedup": dedup.simhash_dedup,
@@ -370,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_filter_project": relational.PARTS_FILTER_PROJECT_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sessions": relational.EVENTS_SESSIONS_SQL,
+        # the streaming sessionizer must converge to EXACTLY the batch
+        # gap-sessionization once the final watermark flushes
+        "events_sessions_streaming": relational.EVENTS_SESSIONS_SQL,
         "orders_running_total": relational.ORDERS_RUNNING_TOTAL_SQL,
         "events_asof_orders": relational.EVENTS_ASOF_ORDERS_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
