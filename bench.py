@@ -139,6 +139,21 @@ def main() -> None:
     bench("q3_shipping_priority", lambda: relational_ext.q3_shipping_priority(sf_dir))
     bench("doc_duplicate_spans", lambda: dedup.doc_duplicate_spans(sf_dir))
 
+    # round-4 additions: interval join, MAD, shard export, streaming sessions
+    from data_quality_ray.pipelines import documents as docs_mod
+    from data_quality_ray.pipelines import streaming as streaming_mod
+
+    bench(
+        "orders_events_window_join",
+        lambda: relational_ext.orders_events_window_join(sf_dir),
+    )
+    bench("events_value_mad", lambda: relational_ext.events_value_mad(sf_dir))
+    bench("doc_shuffle_shards", lambda: docs_mod.doc_shuffle_shards(sf_dir))
+    bench(
+        "events_sessions_streaming",
+        lambda: streaming_mod.streaming_sessions(sf_dir),
+    )
+
     from data_quality_ray.pipelines import multimodal_dedup
 
     bench(
