@@ -649,7 +649,15 @@ def doc_reg_by_lang(sf_dir: str) -> pd.DataFrame:
     sxx = s["sxx"].to_numpy().astype(np.float64)
     sy = s["sy"].to_numpy().astype(np.float64)
     sxy = s["sxy"].to_numpy().astype(np.float64)
-    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = n * sxx - sx * sx
+    if (denom == 0).any():
+        bad = s["lang"].to_numpy()[denom == 0]
+        raise ValueError(
+            f"doc_reg_by_lang: degenerate group(s) {bad.tolist()} — every doc "
+            "has the same token count, slope undefined (explicit guard; "
+            "numpy inf/nan would diverge from DuckDB's division semantics)"
+        )
+    b1 = (n * sxy - sx * sy) / denom
     b0 = (sy - b1 * sx) / n
     out = pd.DataFrame(
         {"lang": s["lang"], "n_docs": s["n"].astype(np.int64), "b1": b1, "b0": b0}

@@ -330,13 +330,21 @@ def ann_lsh(
                 }
             )
 
-        parts = (
-            rd.read_parquet(  # partition-pruned: only probed buckets' files
-                probed_bucket_paths(index_dir, buckets)
+        paths = probed_bucket_paths(index_dir, buckets)
+        if not paths:  # every probed bucket empty (tiny corpus / high n_bits)
+            parts = pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
             )
-            .map_batches(partial, batch_format="pyarrow")
-            .to_pandas()
-        )
+        else:
+            parts = (
+                rd.read_parquet(paths)  # partition-pruned: only probed buckets
+                .map_batches(partial, batch_format="pyarrow")
+                .to_pandas()
+            )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
     # a vector found via several tables appears once per table: dedup before

@@ -847,6 +847,12 @@ def _trailing_bounds(us: np.ndarray, ts: np.ndarray, window_us: int):
             f"_trailing_bounds: ts span exceeds 2^{TS_SPAN_BITS}µs; "
             "widen TS_SPAN_BITS (range check, never silent wrap)"
         )
+    if len(uids) << TS_SPAN_BITS >= (1 << 63):
+        raise ValueError(
+            f"_trailing_bounds: {len(uids)} distinct keys in one shard would "
+            f"overflow the rank*2^{TS_SPAN_BITS} int64 composite key; use "
+            "more shards (range check, never silent wrap)"
+        )
     rank = np.searchsorted(uids, us)
     key = rank * (1 << TS_SPAN_BITS) + (ts - t0)
     lo = np.searchsorted(key, key - window_us, side="left")
@@ -1749,6 +1755,12 @@ def events_hourly_locf(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
             raise ValueError(
                 f"events_hourly_locf: ts span {span}us exceeds 2^{TS_SPAN_BITS}; "
                 "widen TS_SPAN_BITS (range check, never silent wrap)"
+            )
+        if len(uids) << TS_SPAN_BITS >= (1 << 63):
+            raise ValueError(
+                f"events_hourly_locf: {len(uids)} distinct users in one shard "
+                "would overflow the composite key; use more shards "
+                "(range check, never silent wrap)"
             )
         rank = np.searchsorted(uids, us)
         # grid hours per user

@@ -5,27 +5,61 @@ express (the documented escape hatch): session state must persist ACROSS
 micro-batches of an ordered, unbounded stream, and results must be emitted
 BEFORE end-of-stream as the watermark passes. ``map_batches`` actors see
 one batch at a time with no cross-batch key routing; ``groupby`` needs the
-whole input. So this stage is raw keyed Ray actors — 64 ``SessionShard``
-actors each own ``hash(user) & 63``'s open-session state, the driver plays
-the role of the source (re-playing the events table in timestamp order as
-micro-batches; in production this is the log tail), and every shard closes
-sessions eagerly on gap-expiry plus on watermark advance.
+whole input. So this stage is raw keyed Ray actors.
+
+Distributed-source architecture (round 5 — replaces the round-4 driver
+replay loop):
+
+1. ``build_ordered_log`` — ONE map-only Ray Data pass over the events
+   table writes a hash-partitioned ordered log under a scratch dir:
+   every input block becomes ≤ ``n_shards`` ts-sorted segment files
+   (``shard={s}/seg-{min_event_id}.parquet``). No sort, no groupby, no
+   all-to-all — the execution plan is Read→MapBatches only (test-asserted).
+   In production the stream IS such a log (Kafka-style: partitioned by
+   key hash, ordered within partition), so this pass is the simulation
+   harness, not the operator; its cost is one extra scan of the input.
+
+2. ``ShardWorker`` — ``n_shards`` (default 8) actors, keyed by
+   ``user_id % n_shards``. Each owns its partition end-to-end: it
+   streams its OWN segment files through a vectorized k-way run merge
+   (per-segment cursors; each step emits the longest prefix of the
+   minimum-head segment that stays below every other head — runs, never
+   Python rows), feeds ts-ordered micro-batches into the keyed session
+   state, advances its watermark every ``watermark_every`` batches, and
+   folds closed sessions into a per-user (n_sessions, max_session_events)
+   aggregate IN PLACE. Because a user's events all live in one shard, the
+   final aggregate needs no shuffle: each worker returns only user-grain
+   rows. Event-grain data NEVER passes through the driver — bytes to the
+   driver are O(|result|), not O(|stream|) (test-asserted).
+
+Scale notes: merge fan-in per worker = segments per shard = input blocks;
+at very large block counts a real deployment compacts segments
+hierarchically (standard LSM practice) or, more simply, starts from an
+already-ordered log and skips step 1 entirely. Worker memory is
+O(open sessions + per-user aggregate) for its shard — Flink-style keyed
+state — plus one in-flight row-group per segment cursor.
 
 Correctness contract: after the final flush, (user, n_sessions,
 max_session_events) is EXACTLY the batch gap-sessionization —
-``relational.EVENTS_SESSIONS_SQL`` is the oracle, and the mid-stream
+``relational.EVENTS_SESSIONS_SQL`` is the oracle, and mid-stream
 watermark emissions are pinned by tests to never duplicate or drop a
 session. Partitioning assumption (documented per the custom-operator
-rule): one actor owns ALL events of its users, and the source feeds each
-actor in global timestamp order (Ray actor calls from one driver preserve
-submission order per actor).
+rule): one worker owns ALL events of its users, and its merged feed is
+ts-ordered (ties in ts are order-free for gap logic: a 0 gap never
+splits a session).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -35,13 +69,11 @@ from data_quality_ray.pipelines.relational import _pq, ts_us
 N_STREAM_SHARDS = 8
 
 
-@ray.remote(num_cpus=0.25)
-class SessionShard:
-    """Owns open-session state for one hash shard of users.
-
-    State per user: (last_ts_us, n_events_in_open_session). Closed
-    sessions accumulate as (user, n_events) pairs and are drained by
-    ``take_closed`` (watermark emission) or ``flush`` (end of stream)."""
+class _SessionState:
+    """The pure keyed sessionization state machine (no Ray): open-session
+    state per user, vectorized in-batch splits, watermark/flush drains.
+    Shared by the ``SessionShard`` actor (unit-testable single shard) and
+    ``ShardWorker`` (the distributed source+state worker)."""
 
     def __init__(self, gap_us: int):
         self.gap = int(gap_us)
@@ -77,7 +109,7 @@ class SessionShard:
             self.count[uid] = int(sizes[-1])
         return len(users)
 
-    def advance_watermark(self, wm_us: int) -> "pd.DataFrame":
+    def advance_watermark(self, wm_us: int) -> pd.DataFrame:
         """Close every open session whose user cannot receive another
         in-gap event (last < wm − gap) and emit all closed sessions so
         far — the streaming property: output BEFORE end-of-stream."""
@@ -89,7 +121,7 @@ class SessionShard:
             del self.count[uid]
         return self._drain()
 
-    def flush(self) -> "pd.DataFrame":
+    def flush(self) -> pd.DataFrame:
         for uid in sorted(self.last):
             self.closed_users.append(uid)
             self.closed_n.append(self.count[uid])
@@ -97,7 +129,7 @@ class SessionShard:
         self.count.clear()
         return self._drain()
 
-    def _drain(self) -> "pd.DataFrame":
+    def _drain(self) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "user_id": np.asarray(self.closed_users, dtype=np.int64),
@@ -108,63 +140,257 @@ class SessionShard:
         return out
 
 
+@ray.remote(num_cpus=0.25)
+class SessionShard:
+    """One hash shard's keyed session state as a standalone actor — the
+    unit-test surface for the state machine (see ``_SessionState``)."""
+
+    def __init__(self, gap_us: int):
+        self._st = _SessionState(gap_us)
+
+    def ingest(self, users: np.ndarray, ts: np.ndarray) -> int:
+        return self._st.ingest(users, ts)
+
+    def advance_watermark(self, wm_us: int) -> "pd.DataFrame":
+        return self._st.advance_watermark(wm_us)
+
+    def flush(self) -> "pd.DataFrame":
+        return self._st.flush()
+
+
+def build_ordered_log(
+    sf_dir: str, log_dir: str, n_shards: int = N_STREAM_SHARDS
+) -> tuple[dict[int, list[str]], str]:
+    """Hash-partition the events table into an ordered log: one map-only
+    Ray Data pass; each input block writes ≤ n_shards ts-sorted segment
+    files. Returns ({shard: [segment paths]}, dataset stats string — the
+    no-all-to-all assertion hook). Segment names are content-keyed
+    (min event_id is unique per segment), so a re-run is idempotent."""
+
+    def write_segments(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": ts_us(t["ts"]),
+            }
+        ).sort_by("ts_us")
+        shard = pa.array(t["user_id"].to_numpy() % n_shards, pa.int64())
+        rows = []
+        for s in range(n_shards):
+            sub = t.filter(pc.equal(shard, s))
+            if len(sub) == 0:
+                continue
+            d = os.path.join(log_dir, f"shard={s}")
+            os.makedirs(d, exist_ok=True)
+            seg_id = int(pc.min(sub["event_id"]).as_py())
+            path = os.path.join(d, f"seg-{seg_id}.parquet")
+            pq.write_table(sub.select(["user_id", "ts_us"]), path)
+            rows.append((s, path, len(sub)))
+        return pa.table(
+            {
+                "shard": pa.array([r[0] for r in rows], pa.int64()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    ).map_batches(write_segments, batch_format="pyarrow")
+    manifest = ds.to_pandas()  # O(n_segments) rows — tiny
+    stats = ds.stats()
+    paths: dict[int, list[str]] = {s: [] for s in range(n_shards)}
+    for s, p in zip(manifest["shard"], manifest["path"]):
+        paths[int(s)].append(p)
+    return paths, stats
+
+
+class _SegmentCursor:
+    """Streaming reader over one ts-sorted segment file: holds ONE
+    in-flight row-group's arrays at a time."""
+
+    def __init__(self, path: str, batch_rows: int):
+        self._it = pq.ParquetFile(path).iter_batches(
+            batch_size=batch_rows, columns=["user_id", "ts_us"]
+        )
+        self.users: np.ndarray | None = None
+        self.ts: np.ndarray | None = None
+        self.pos = 0
+        self._refill()
+
+    def _refill(self) -> None:
+        for b in self._it:
+            if b.num_rows:
+                self.users = b.column("user_id").to_numpy()
+                self.ts = b.column("ts_us").to_numpy()
+                self.pos = 0
+                return
+        self.users = self.ts = None  # exhausted
+
+    @property
+    def head(self) -> int | None:
+        return None if self.ts is None else int(self.ts[self.pos])
+
+    def take_until(self, bound: int | None) -> tuple[np.ndarray, np.ndarray]:
+        """Pop the longest prefix with ts ≤ bound (all remaining rows of
+        the current chunk when bound is None) — one vectorized slice."""
+        hi = (
+            len(self.ts)
+            if bound is None
+            else int(np.searchsorted(self.ts[self.pos :], bound, side="right"))
+            + self.pos
+        )
+        u, t = self.users[self.pos : hi], self.ts[self.pos : hi]
+        self.pos = hi
+        if self.pos >= len(self.ts):
+            self._refill()
+        return u, t
+
+
+@ray.remote(num_cpus=0.25)
+class ShardWorker:
+    """Owns ONE log partition end-to-end: ordered replay (k-way run merge
+    over its segments), keyed session state, watermark emission, and the
+    per-user aggregate. Only user-grain rows ever leave this actor."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        seg_paths: list[str],
+        gap_us: int,
+        batch_rows: int,
+        watermark_every: int,
+    ):
+        self.shard_id = shard_id
+        self.paths = list(seg_paths)
+        self.gap_us = int(gap_us)
+        self.batch_rows = int(batch_rows)
+        self.wm_every = int(watermark_every)
+
+    def run(self) -> tuple[pd.DataFrame, dict]:
+        st = _SessionState(self.gap_us)
+        # per-user streaming aggregate (Flink-style keyed state):
+        n_sessions: dict[int, int] = {}
+        max_events: dict[int, int] = {}
+        stats = {
+            "shard": self.shard_id,
+            "rows_streamed": 0,
+            "n_segments": len(self.paths),
+            "n_watermark_drains": 0,
+            "emitted_before_flush": 0,
+            "merge_runs": 0,
+        }
+
+        def fold(closed: pd.DataFrame) -> int:
+            for uid, n in zip(
+                closed["user_id"].to_numpy(), closed["n_events"].to_numpy()
+            ):
+                uid, n = int(uid), int(n)
+                n_sessions[uid] = n_sessions.get(uid, 0) + 1
+                if n > max_events.get(uid, 0):
+                    max_events[uid] = n
+            return len(closed)
+
+        cursors = [_SegmentCursor(p, self.batch_rows) for p in self.paths]
+        buf_u: list[np.ndarray] = []
+        buf_t: list[np.ndarray] = []
+        buffered = 0
+        n_batches = 0
+
+        def feed(users: np.ndarray, ts: np.ndarray) -> None:
+            nonlocal n_batches
+            st.ingest(users, ts)
+            stats["rows_streamed"] += len(users)
+            n_batches += 1
+            if n_batches % self.wm_every == 0:
+                stats["n_watermark_drains"] += 1
+                stats["emitted_before_flush"] += fold(
+                    st.advance_watermark(int(ts[-1]))
+                )
+
+        while True:
+            live = [c for c in cursors if c.head is not None]
+            if not live:
+                break
+            # minimum-head segment; longest run below every other head
+            heads = [c.head for c in live]
+            i = int(np.argmin(heads))
+            others = [h for j, h in enumerate(heads) if j != i]
+            bound = min(others) if others else None
+            u, t = live[i].take_until(bound)  # bound ≥ own head ⇒ ≥1 row
+            stats["merge_runs"] += 1
+            buf_u.append(u)
+            buf_t.append(t)
+            buffered += len(u)
+            if buffered >= self.batch_rows:
+                users = np.concatenate(buf_u)
+                ts = np.concatenate(buf_t)
+                buf_u, buf_t, buffered = [], [], 0
+                # feed in batch_rows micro-batches (keeps watermark cadence)
+                for lo in range(0, len(users), self.batch_rows):
+                    feed(users[lo : lo + self.batch_rows], ts[lo : lo + self.batch_rows])
+        if buffered:
+            users = np.concatenate(buf_u)
+            ts = np.concatenate(buf_t)
+            feed(users, ts)
+        fold(st.flush())
+
+        out = pd.DataFrame(
+            {
+                "user_id": np.fromiter(n_sessions.keys(), dtype=np.int64, count=len(n_sessions)),
+                "n_sessions": np.fromiter(n_sessions.values(), dtype=np.int64, count=len(n_sessions)),
+            }
+        )
+        out["max_session_events"] = out["user_id"].map(max_events).astype("int64")
+        stats["result_rows"] = len(out)
+        return out.sort_values("user_id").reset_index(drop=True), stats
+
+
 def streaming_sessions(
     sf_dir: str,
     gap_minutes: int = 30,
     batch_rows: int = 4096,
     n_shards: int = N_STREAM_SHARDS,
     watermark_every: int = 4,
-) -> pd.DataFrame:
-    """Replay the events table as a ts-ordered stream through keyed
-    session-shard actors; return per-user (n_sessions,
+    return_stats: bool = False,
+):
+    """Replay the events table as n_shards ordered log partitions through
+    shard-owned source+session workers; return per-user (n_sessions,
     max_session_events) — value-identical to the batch sessionization
     (``relational.events_sessions`` / EVENTS_SESSIONS_SQL).
 
-    The ``ds.sort("ts")`` is the stream-order guarantee a real source
-    provides; ``watermark_every`` micro-batches, every shard closes
-    expired sessions and emits them (collected incrementally, so driver
-    state is emitted-sessions-bounded, not stream-bounded)."""
+    With ``return_stats=True`` also returns (per-shard stats list,
+    log-build plan stats string) for the scale-contract tests: mid-stream
+    emissions happened, bytes-to-driver are user-grain, and the log build
+    ran with no all-to-all operator."""
     gap_us = gap_minutes * 60_000_000
+    log_dir = tempfile.mkdtemp(prefix="stream_log_")
+    try:
+        paths, plan_stats = build_ordered_log(sf_dir, log_dir, n_shards)
+        workers = [
+            ShardWorker.remote(s, paths[s], gap_us, batch_rows, watermark_every)
+            for s in range(n_shards)
+            if paths[s]
+        ]
+        results = ray.get([w.run.remote() for w in workers])
+        for w in workers:
+            ray.kill(w)
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
 
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({"user_id": t["user_id"], "ts_us": ts_us(t["ts"])})
-
-    stream = (
-        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
-        .map_batches(prep, batch_format="pyarrow")
-        .sort("ts_us")
-    )
-    shards = [SessionShard.remote(gap_us) for _ in range(n_shards)]
-    emitted: list[pd.DataFrame] = []
-    pending: list = []
-    i = 0
-    wm = None
-    for batch in stream.iter_batches(batch_size=batch_rows, batch_format="pyarrow"):
-        users = batch["user_id"].to_numpy()
-        ts = batch["ts_us"].to_numpy()
-        pk = (users % n_shards).astype(np.int64)
-        for s in range(n_shards):
-            m = pk == s
-            if m.any():
-                pending.append(shards[s].ingest.remote(users[m], ts[m]))
-        wm = int(ts[-1])
-        i += 1
-        if i % watermark_every == 0:
-            ray.get(pending)  # all ingests ordered before the watermark
-            pending = []
-            emitted.extend(ray.get([s.advance_watermark.remote(wm) for s in shards]))
-    ray.get(pending)
-    emitted.extend(ray.get([s.flush.remote() for s in shards]))
-
-    closed = pd.concat(emitted, ignore_index=True)
-    if len(closed) == 0:
-        return pd.DataFrame(
+    frames = [r[0] for r in results]
+    shard_stats = [r[1] for r in results]
+    if not frames or sum(len(f) for f in frames) == 0:
+        out = pd.DataFrame(
             {"user_id": [], "n_sessions": [], "max_session_events": []}
         ).astype("int64")
-    out = closed.groupby("user_id", as_index=False).agg(
-        n_sessions=("n_events", "size"), max_session_events=("n_events", "max")
-    )
-    out = out.astype(
-        {"user_id": "int64", "n_sessions": "int64", "max_session_events": "int64"}
-    )
-    return out.sort_values("user_id").reset_index(drop=True)
+    else:
+        out = (
+            pd.concat(frames, ignore_index=True)  # user-grain, shard-disjoint
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    if return_stats:
+        return out, shard_stats, plan_stats
+    return out
