@@ -234,18 +234,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # DICT ORDER IS LOAD-BEARING: the driver's CORRECTNESS gate checks only
-    # the FIRST 50 entries in dict order. The window therefore leads with
-    # the flagship 4, then every query that has never had a driver row in
-    # any round (12 of them SQL-oracled), then the queries re-sharded this
-    # round (their rework needs a fresh driver row), then least-recently /
-    # least-often checked; thrice-green veterans rotate to the tail.
+    # the FIRST 50 entries in dict order. Round-5 window policy (VERDICT r4
+    # item 3): flagship 4 first (rows-only by nature), then the ops NEW or
+    # REWORKED this round, then every SQL-oracled query ranked by how few
+    # green driver rows it has (once-green before twice-green). Rows-only
+    # ops that already have a driver row rotate to the tail — the window's
+    # hard-signal budget goes to value-hash checks.
     return {
         # flagship clip pipeline (model-based → rows-only driver check)
         "quality_pipeline": _q_quality_pipeline,
         "quality_kept": _q_quality_kept,
         "quality_lang_stats": _q_quality_lang_stats,
         "quality_bucket_counts": _q_quality_bucket_counts,
-        # --- never driver-checked before round 4: SQL-oracled ---
+        # --- new in round 5: SQL-checkable ANN / semantic dedup variants ---
+        "ann_ivf_checked": embeddings.ann_ivf_checked,
+        "semantic_dedup_checked": embeddings.semantic_dedup_checked,
+        # --- reworked in round 5 (distributed source; needs a fresh row) ---
+        "events_sessions_streaming": _q_events_sessions_streaming,
+        # --- SQL-oracled, green ONCE (rounds 1–4) ---
         "orders_percent_rank": relational_ext.orders_percent_rank,
         "part_mode_type": relational_ext.part_mode_type,
         "train_quality_reg_stats": documents.train_quality_reg_stats,
@@ -257,52 +263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_cluster_reps": dedup.jaccard_cluster_reps,
         "doc_duplicate_spans": dedup.doc_duplicate_spans,
         "corpus_ingest": ingest.corpus_ingest,
-        # --- never driver-checked before round 4: rows-only ---
-        "train_bpe_merges": _q_train_bpe,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "semantic_dedup": embeddings.semantic_dedup,
-        "clip_mfcc_features": _q_clip_mfcc_features,
-        "clip_vad_stats": _q_clip_vad_stats,
-        "clip_loudness_stats": _q_clip_loudness_stats,
-        "clip_speech_segments": _q_clip_speech_segments,
-        "clip_utterances": _q_clip_utterances,
-        "clip_speed_perturb": _q_clip_speed_perturb,
-        "clip_audio_near_dup": _q_clip_audio_near_dup,
-        "clip_content_ingest": _q_clip_content_ingest,
-        "clip_fingerprint_matches": _q_clip_fingerprint_matches,
-        "image_near_dup": _q_image_near_dup,
-        "video_near_dup": _q_video_near_dup,
-        # --- re-sharded this round (bounded-pkey rework needs a fresh row) ---
-        "exact_dedup": dedup.exact_dedup,
-        "events_sessions": relational.events_sessions,
-        "orders_running_total": relational.orders_running_total,
-        "top_orders_per_customer": relational.top_orders_per_customer,
-        "events_user_gaps": relational_ext.events_user_gaps,
-        "events_trailing_hour": relational_ext.events_trailing_hour,
-        "events_value_ntile": relational_ext.events_value_ntile,
-        "events_anomaly_flags": relational_ext.events_anomaly_flags,
-        # --- checked only in round 1 ---
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "ann_brute_force": embeddings.ann_brute_force,
-        "ann_ivf": embeddings.ann_ivf,
-        # --- checked only in round 2 ---
-        "document_pipeline": documents.document_pipeline,
-        "doc_top_terms_cms": documents.doc_top_terms_cms,
-        # --- new in round 4 (never checked; fills the window to 50) ---
         "events_value_mad": relational_ext.events_value_mad,
         "events_type_transitions": relational_ext.events_type_transitions,
         "orders_events_window_join": relational_ext.orders_events_window_join,
         "doc_reg_by_lang": documents.doc_reg_by_lang,
-        "events_value_quantile_sketch": relational_ext.events_value_quantile_sketch,
         "doc_shuffle_shards": documents.doc_shuffle_shards,
-        "clip_multimodal_consensus": _q_clip_multimodal_consensus,
-        "events_sessions_streaming": _q_events_sessions_streaming,
-        # ------------- tail: green in two or more prior rounds -------------
-        "ann_lsh": embeddings.ann_lsh,
-        "minhash_dedup": dedup.minhash_dedup,
-        "clip_audio_embeddings": _q_clip_audio_embeddings,
-        "embedding_near_dup": embeddings.embedding_near_dup,
-        "simhash_dedup": dedup.simhash_dedup,
         "doc_weighted_sample": relational_ext.doc_weighted_sample,
         "doc_balanced_sample": relational_ext.doc_balanced_sample,
         "events_type_pivot": relational_ext.events_type_pivot,
@@ -316,29 +282,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_streaks": relational_ext.events_daily_streaks,
         "orders_status_cube": relational_ext.orders_status_cube,
         "q5_local_supplier_volume": relational_ext.q5_local_supplier_volume,
-        "spectrogram_dataset": _q_spectrogram,
-        "window_dataset": _q_window_records,
+        "train_char_lm_counts": documents.train_char_lm_counts,
+        # --- SQL-oracled, green TWICE (fills the window to 50) ---
+        "events_value_ntile": relational_ext.events_value_ntile,
+        "events_anomaly_flags": relational_ext.events_anomaly_flags,
+        "ann_brute_force": embeddings.ann_brute_force,
         "doc_token_stats": documents.doc_token_stats,
         "doc_fingerprint": documents.doc_fingerprint,
         "doc_scrub": documents.doc_scrub,
         "doc_quality_flags": documents.doc_quality_flags,
         "doc_split": _q_doc_split,
-        "doc_langid": documents.doc_langid,
-        "doc_ppl": documents.doc_ppl,
         "doc_top_terms": documents.doc_top_terms,
         "doc_length_histogram": documents.doc_length_histogram,
-        "train_char_lm_counts": documents.train_char_lm_counts,
         "events_props_extract": relational_ext.events_props_extract,
         "events_weekly_users": relational_ext.events_weekly_users,
+        # ---------------- tail (entry 51+): SQL-oracled veterans ----------
         "events_value_median": relational_ext.events_value_median,
         "revenue_rollup": relational_ext.revenue_rollup,
         "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
         "orders_prior_window": relational_ext.orders_prior_window,
         "q3_shipping_priority": relational_ext.q3_shipping_priority,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
-        "events_user_hll": relational_ext.events_user_hll,
         "events_value_quantiles": relational_ext.events_value_quantiles,
         "events_value_k_corr": relational_ext.events_value_k_corr,
+        "exact_dedup": dedup.exact_dedup,
+        "events_sessions": relational.events_sessions,
+        "orders_running_total": relational.orders_running_total,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "events_user_gaps": relational_ext.events_user_gaps,
+        "events_trailing_hour": relational_ext.events_trailing_hour,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "top_customers": relational.top_customers,
@@ -354,6 +326,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_extremes": relational.events_value_extremes,
         "events_value_stats": relational.events_value_stats,
         "orders_of_active_users": relational.orders_of_active_users,
+        # ----- tail: rows-only ops (each has a recorded driver row) -------
+        "train_bpe_merges": _q_train_bpe,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "semantic_dedup": embeddings.semantic_dedup,
+        "ann_ivf": embeddings.ann_ivf,
+        "ann_lsh": embeddings.ann_lsh,
+        "document_pipeline": documents.document_pipeline,
+        "doc_top_terms_cms": documents.doc_top_terms_cms,
+        "events_value_quantile_sketch": relational_ext.events_value_quantile_sketch,
+        "clip_multimodal_consensus": _q_clip_multimodal_consensus,
+        "clip_mfcc_features": _q_clip_mfcc_features,
+        "clip_vad_stats": _q_clip_vad_stats,
+        "clip_loudness_stats": _q_clip_loudness_stats,
+        "clip_speech_segments": _q_clip_speech_segments,
+        "clip_utterances": _q_clip_utterances,
+        "clip_speed_perturb": _q_clip_speed_perturb,
+        "clip_audio_near_dup": _q_clip_audio_near_dup,
+        "clip_content_ingest": _q_clip_content_ingest,
+        "clip_fingerprint_matches": _q_clip_fingerprint_matches,
+        "image_near_dup": _q_image_near_dup,
+        "video_near_dup": _q_video_near_dup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "clip_audio_embeddings": _q_clip_audio_embeddings,
+        "embedding_near_dup": embeddings.embedding_near_dup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "spectrogram_dataset": _q_spectrogram,
+        "window_dataset": _q_window_records,
+        "doc_langid": documents.doc_langid,
+        "doc_ppl": documents.doc_ppl,
+        "events_user_hll": relational_ext.events_user_hll,
     }
 
 
@@ -450,4 +452,9 @@ FROM documents ORDER BY doc_id
         "doc_duplicate_spans": dedup.DOC_DUPLICATE_SPANS_SQL,
         "minhash_dedup_checked": dedup.MINHASH_DEDUP_CHECKED_SQL,
         "ann_brute_force": embeddings.ANN_BRUTE_FORCE_SQL,
+        # round 5: full-stack SQL replicas of the medoid-quantizer ANN and
+        # nearest-earlier-rep SemDeDup variants (generated from the same
+        # constants as the Ray path — never hand-edit one side)
+        "ann_ivf_checked": embeddings.ann_ivf_checked_sql(),
+        "semantic_dedup_checked": embeddings.semantic_dedup_checked_sql(),
     }

@@ -484,26 +484,34 @@ IVF_SAMPLE_SIZE = 256
 
 
 def build_ivf_index(
-    sf_dir: str, index_dir: str, n_cells: int = 16, sample_size: int = IVF_SAMPLE_SIZE
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 16,
+    sample_size: int = IVF_SAMPLE_SIZE,
+    centroids: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Train the coarse quantizer on a DISTRIBUTED random sample and write
     the cell-partitioned stored index. Returns the normalized centroids.
 
     - quantizer training: ``ds.random_sample(frac, seed)`` → the sample
       (bounded, ≪ corpus) is the only vector data the driver ever holds —
-      never the full table.
+      never the full table. Pass ``centroids`` (already normalized) to skip
+      the fit — the medoid-quantizer path of :func:`ann_ivf_checked`.
     - index: every vector is assigned its nearest cell (vectorized argmax
       per batch) and written with ``partition_cols=["cell"]``, so a query
       later reads ONLY its probed cells' files (partition pruning).
     """
     ds = _emb(sf_dir)
-    n = ds.count()
-    frac = min(1.0, sample_size / max(n, 1))
-    sample_df = ds.random_sample(frac, seed=3).to_pandas()
-    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
-    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    centroids = _kmeans_fit(sample, min(n_cells, len(sample)))
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    if centroids is not None:
+        cn = centroids
+    else:
+        n = ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+        sample_df = ds.random_sample(frac, seed=3).to_pandas()
+        sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+        sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+        km = _kmeans_fit(sample, min(n_cells, len(sample)))
+        cn = km / np.maximum(np.linalg.norm(km, axis=1, keepdims=True), 1e-30)
     cref = ray.put(cn)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -542,6 +550,68 @@ def probed_cell_paths(index_dir: str, cells: "list[int]") -> list[str]:
     return out
 
 
+def _ivf_scan(
+    index_dir: str, qids: np.ndarray, qn: np.ndarray, q_cells: np.ndarray, k: int
+) -> pd.DataFrame:
+    """The IVF query stage shared by :func:`ann_ivf` and
+    :func:`ann_ivf_checked`: partition-pruned read of the probed cells'
+    files, per-batch exact cosine partial top-k, tiny driver merge.
+    Returns (query_id, rank, vec_id)."""
+    ref = ray.put((qids, qn, q_cells))
+    probe_union = [int(c) for c in np.unique(q_cells)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qn_, q_cells_ = ray.get(ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        cells = t["cell_id"].to_numpy().astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids_)):
+            cand = np.isin(cells, q_cells_[j])
+            if not cand.any():
+                continue
+            s = matn[cand] @ qn_[j]
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            order = np.lexsort((cids, -s))[:kk]
+            out_q.extend([int(qids_[j])] * kk)
+            out_v.extend(cids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    paths = probed_cell_paths(index_dir, probe_union)
+    if not paths:  # every probed cell empty
+        parts = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    else:
+        parts = (
+            rd.read_parquet(paths)  # partition-pruned: only probed cells
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), rank, int(r["vec_id"])))
+    return (
+        pd.DataFrame(rows, columns=["query_id", "rank", "vec_id"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def ann_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
     """IVF ANN over the stored cell-partitioned index.
 
@@ -562,53 +632,9 @@ def ann_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16, n_probe: int = 4) ->
     try:
         cn = build_ivf_index(sf_dir, index_dir, n_cells=n_cells)
         q_cells = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (q, n_probe)
-        ref = ray.put((qids, qn, q_cells))
-        probe_union = [int(c) for c in np.unique(q_cells)]
-
-        def partial(t: pa.Table) -> pa.Table:
-            qids_, qn_, q_cells_ = ray.get(ref)
-            ids, mat = _batch_matrix(t)
-            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-            cells = t["cell_id"].to_numpy().astype(np.int64)
-            out_q, out_v, out_s = [], [], []
-            for j in range(len(qids_)):
-                cand = np.isin(cells, q_cells_[j])
-                if not cand.any():
-                    continue
-                s = matn[cand] @ qn_[j]
-                cids = ids[cand]
-                kk = min(k, len(cids))
-                order = np.lexsort((cids, -s))[:kk]
-                out_q.extend([int(qids_[j])] * kk)
-                out_v.extend(cids[order].tolist())
-                out_s.extend(s[order].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
-
-        parts = (
-            rd.read_parquet(  # partition-pruned: only probed cells' dirs
-                probed_cell_paths(index_dir, probe_union)
-            )
-            .map_batches(partial, batch_format="pyarrow")
-            .to_pandas()
-        )
+        return _ivf_scan(index_dir, qids, qn, q_cells, k)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
-    rows = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), start=1):
-            rows.append((int(qid), rank, int(r["vec_id"])))
-    return (
-        pd.DataFrame(rows, columns=["query_id", "rank", "vec_id"])
-        .sort_values(["query_id", "rank"])
-        .reset_index(drop=True)
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -733,3 +759,278 @@ def semantic_dedup(
         .to_pandas()
     )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable variants (round 5): medoid-quantizer IVF + nearest-earlier-rep
+# SemDeDup. Both replicate their ENTIRE algorithm in generated DuckDB SQL
+# (the minhash_dedup_checked pattern): the quantizer is content-keyed medoid
+# selection (K lowest md5(vec_id)) instead of k-means, so cell assignment,
+# probe order and the final ranking are all expressible as SQL — giving the
+# driver a value-hash oracle for the ANN/semantic family, whose production
+# paths (ann_ivf, semantic_dedup) stay k-means-based and rows-only.
+# Constants feed BOTH the Ray path and the SQL generator — never hand-edit
+# one side (CLAUDE.md round-2 invariant).
+# ---------------------------------------------------------------------------
+
+ANN_CHECKED_CELLS = 8
+ANN_CHECKED_PROBE = 3
+SEM_CHECKED_TAU = 0.92
+SEM_CHECKED_SHIFT = 0.1
+
+
+def _medoid_seeds(sf_dir: str, n_seeds: int) -> tuple[np.ndarray, np.ndarray]:
+    """The n_seeds vectors with lowest (md5(vec_id), vec_id) — a
+    content-keyed medoid quantizer, identical at any parallelism and
+    replicable in SQL. Distributed bottom-K: each block emits its local
+    bottom n_seeds (ids only), the driver merges ≤ blocks·n_seeds rows,
+    then ONLY the seed rows are fetched by id filter (row-group-pruned).
+    Returns (seed_ids in md5-rank order, seed matrix float64)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def block_min(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: (hx[j], int(ids[j])))[:n_seeds]
+        return pa.table(
+            {
+                "vec_id": pa.array([int(ids[j]) for j in order], pa.int64()),
+                "hx": pa.array([hx[j] for j in order], pa.string()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"])
+        .map_batches(block_min, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = parts.sort_values(["hx", "vec_id"]).head(n_seeds)
+    seed_ids = [int(v) for v in top["vec_id"]]
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", seed_ids)],
+    )
+    df = t.to_pandas().set_index("vec_id").loc[seed_ids]  # md5-rank order
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return np.asarray(seed_ids, dtype=np.int64), mat
+
+
+def ann_ivf_checked(
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = ANN_CHECKED_CELLS,
+    n_probe: int = ANN_CHECKED_PROBE,
+) -> pd.DataFrame:
+    """IVF ANN whose coarse quantizer is the content-keyed medoid set
+    (:func:`_medoid_seeds`) instead of k-means — bit-deterministic AND
+    fully SQL-replicable (``ann_ivf_checked_sql()``), so the driver can
+    value-hash the whole stored-index → probe → rank path. Same scale
+    shape as :func:`ann_ivf`: cell-partitioned stored index, partition-
+    pruned probed read, exact cosine within cells. The medoid quantizer
+    trades cell balance for checkability; the production quantizer stays
+    k-means (:func:`ann_ivf`)."""
+    import shutil
+    import tempfile
+
+    qids, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    _, smat = _medoid_seeds(sf_dir, n_cells)
+    sn = smat / np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+
+    index_dir = tempfile.mkdtemp(prefix="ivfc_idx_")
+    try:
+        build_ivf_index(sf_dir, index_dir, centroids=sn)
+        # stable argsort: probe-order ties break by seed rank, like the SQL
+        q_cells = np.argsort(-(qn @ sn.T), axis=1, kind="stable")[:, :n_probe]
+        return _ivf_scan(index_dir, qids, qn, q_cells, k)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def ann_ivf_checked_sql(
+    k: int = TOP_K,
+    n_cells: int = ANN_CHECKED_CELLS,
+    n_probe: int = ANN_CHECKED_PROBE,
+) -> str:
+    """Full-stack DuckDB replica of :func:`ann_ivf_checked` — medoid seeds,
+    nearest-seed cell assignment, probe-order, within-probe exact ranking."""
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS svid, embedding AS se,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS srank
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_cells}
+), cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.srank AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, s.se) DESC,
+                                       s.srank) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, s.srank AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qe, s.se) DESC,
+                                       s.srank) AS rn
+    FROM q CROSS JOIN seeds s
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, c.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN cells c ON c.cell = p.cell
+  JOIN embeddings e ON e.vec_id = c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def _shifted_copy(t: pa.Table) -> pa.Table:
+    """SQL-constructible planted near-dup: vec_id + DUP_OFFSET, first
+    component shifted by SEM_CHECKED_SHIFT (float64 — exactly
+    ``[embedding[1] + 0.1] || embedding[2:]`` in DuckDB). cosine(copy,
+    source) ≈ 0.995 on unit-ish vectors — far above τ; random pairs stay
+    far below — no knife edges at the threshold."""
+    ids, mat = _batch_matrix(t)
+    mat = mat.copy()
+    if mat.shape[0]:
+        mat[:, 0] += SEM_CHECKED_SHIFT
+    return pa.table(
+        {
+            "vec_id": pa.array(ids + DUP_OFFSET, pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def semantic_dedup_checked(
+    sf_dir: str,
+    threshold: float = SEM_CHECKED_TAU,
+    n_cells: int = ANN_CHECKED_CELLS,
+    chunk_rows: int = 1_024,
+) -> pd.DataFrame:
+    """SemDeDup variant that the driver can value-hash end-to-end: medoid
+    cells (content-keyed, SQL-replicable) and the NEAREST-EARLIER-REP rule
+    — rep(v) = min{u < v in v's cell : cos(u,v) ≥ τ}, else v — instead of
+    the production path's union-find (transitive) grouping, which SQL
+    cannot express without recursion. Corpus = embeddings ∪ shifted copies
+    (:func:`_shifted_copy`). Returns (vec_id, rep_id, keep), sorted.
+
+    Scale shape mirrors :func:`semantic_dedup`: broadcast seed matrix,
+    vectorized cell assignment, ONE bounded ``groupby(cell)`` with chunked
+    within-cell matmuls (peak memory chunk×m). ``n_cells`` is fixed so the
+    generated oracle SQL is static; production sizing (cells ~ rows/2k)
+    lives in :func:`semantic_dedup`."""
+    import pyarrow.compute as pc
+
+    _, smat = _medoid_seeds(sf_dir, n_cells)
+    sn = smat / np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+    cref = ray.put(sn)
+
+    def to64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pc.cast(t["embedding"], pa.list_(pa.float64())),
+            }
+        )
+
+    base = _emb(sf_dir)
+    ds = base.map_batches(to64, batch_format="pyarrow").union(
+        base.map_batches(_shifted_copy, batch_format="pyarrow")
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        sn_ = ray.get(cref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        cells = (matn @ sn_.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cells))
+
+    chunk = max(1, chunk_rows)
+    imax = np.iinfo(np.int64).max
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        m = len(ids)
+        rep = ids.copy()
+        jj = np.arange(m)[None, :]
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = matn[lo:hi] @ matn.T  # (hi−lo) × m slab
+            valid = (sims >= threshold) & (jj < np.arange(lo, hi)[:, None])
+            cand = np.where(valid, ids[None, :], imax)
+            mn = cand.min(axis=1)
+            has = mn < imax
+            rep[lo:hi][has] = mn[has]
+        return pd.DataFrame(
+            {"vec_id": ids, "rep_id": rep, "keep": rep == ids}
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")  # bounded key: n_cells cells
+        .map_groups(dedup_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semantic_dedup_checked_sql(
+    threshold: float = SEM_CHECKED_TAU,
+    n_cells: int = ANN_CHECKED_CELLS,
+    shift: float = SEM_CHECKED_SHIFT,
+) -> str:
+    """Full-stack DuckDB replica of :func:`semantic_dedup_checked` —
+    shifted-copy corpus, medoid cells, nearest-earlier-rep within cells."""
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET},
+         list_concat([embedding[1] + {shift}], CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings
+), seeds AS (
+  SELECT embedding AS se,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS srank
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_cells}
+), cells AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, s.srank AS cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_cosine_similarity(c.e, CAST(s.se AS DOUBLE[])) DESC,
+                                       s.srank) AS rn
+    FROM corpus c CROSS JOIN seeds s
+  ) WHERE rn = 1
+), reps AS (
+  SELECT a.vec_id AS v, min(b.vec_id) AS rep
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+  GROUP BY a.vec_id
+)
+SELECT c.vec_id, coalesce(r.rep, c.vec_id) AS rep_id, (r.rep IS NULL) AS keep
+FROM cells c LEFT JOIN reps r ON r.v = c.vec_id
+ORDER BY c.vec_id
+"""

@@ -767,27 +767,54 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10) ->
         filter=(pc.field("l_shipdate") > cut),
     ).map_batches(li_rows, batch_format="pyarrow")
 
-    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
-        right = g[g["side"] == 1][["key", "odate_us", "priority"]]
-        left = g[g["side"] == 0][["key", "rev_e4"]]
-        m = left.merge(right, on="key", how="inner")
-        if m.empty:
-            return pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "odate_us": pd.Series([], dtype="int64"),
-                    "priority": pd.Series([], dtype="object"),
-                    "rev_e4": pd.Series([], dtype="int64"),
-                }
-            )
-        return m.groupby(["key", "odate_us", "priority"], as_index=False).agg(
-            rev_e4=("rev_e4", "sum")
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "odate_us": pa.array([], pa.int64()),
+            "priority": pa.array([], pa.string()),
+            "rev_e4": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_join(t: pa.Table) -> pa.Table:
+        # Arrow/numpy-native shard kernel (round-5 rework): orderkey is
+        # UNIQUE on the orders side, so the inner join is one searchsorted
+        # lookup and the per-(key,odate,priority) combine is an integer
+        # scatter-add per order row — no pandas merge/groupby round-trip.
+        side = t["side"].to_numpy()
+        key = t["key"].to_numpy()
+        rmask = side == 1
+        ridx = np.flatnonzero(rmask)
+        okey = key[ridx]
+        if len(okey) == 0 or len(okey) == len(key):
+            return empty
+        oorder = np.argsort(okey, kind="stable")
+        okey_s = okey[oorder]
+        lmask = ~rmask
+        lkey = key[lmask]
+        rev = t["rev_e4"].to_numpy()[lmask]
+        pos = np.minimum(np.searchsorted(okey_s, lkey), len(okey_s) - 1)
+        hit = okey_s[pos] == lkey
+        acc = np.zeros(len(okey_s), dtype=np.int64)
+        np.add.at(acc, pos[hit], rev[hit])
+        cnt = np.bincount(pos[hit], minlength=len(okey_s))
+        emit = cnt > 0
+        src = ridx[oorder][emit]  # original rows of the emitted orders
+        return pa.table(
+            {
+                "key": pa.array(okey_s[emit], pa.int64()),
+                "odate_us": pa.array(t["odate_us"].to_numpy()[src], pa.int64()),
+                "priority": t["priority"].combine_chunks().take(
+                    pa.array(src, pa.int64())
+                ),
+                "rev_e4": pa.array(acc[emit], pa.int64()),
+            }
         )
 
     agg = (
         li.union(orders)
         .groupby("bucket")
-        .map_groups(bucket_join, batch_format="pandas")
+        .map_groups(bucket_join, batch_format="pyarrow")
         .groupby(["key", "odate_us", "priority"])
         .aggregate(Sum("rev_e4", alias_name="rev_e4"))
         .sort(["rev_e4", "key"], descending=[True, False])
@@ -882,20 +909,27 @@ def events_trailing_hour(sf_dir: str, n_pkeys: int = 64) -> pd.DataFrame:
             }
         )
 
-    def trail_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
-        lo, hi = _trailing_bounds(
-            g["user_id"].to_numpy(), g["ts_us"].to_numpy(), hour_us
-        )
-        return pd.DataFrame(
-            {"event_id": g["event_id"].to_numpy(), "n_trailing": hi - lo}
+    def trail_shard(t: pa.Table) -> pa.Table:
+        # Arrow-native shard kernel: zero-copy int64 views + one lexsort —
+        # no pandas round-trip (round-5 rework of the hottest shard)
+        eid = t["event_id"].to_numpy()
+        us = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        order = np.lexsort((eid, ts, us))
+        us, ts, eid = us[order], ts[order], eid[order]
+        lo, hi = _trailing_bounds(us, ts, hour_us)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "n_trailing": pa.array(hi - lo, pa.int64()),
+            }
         )
 
     out = (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
         .map_batches(prep, batch_format="pyarrow")
         .groupby("pkey")
-        .map_groups(trail_shard, batch_format="pandas")
+        .map_groups(trail_shard, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)

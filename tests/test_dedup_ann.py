@@ -416,3 +416,52 @@ def test_semantic_dedup_drops_planted_copies(_ray):
     originals = out[out["vec_id"] < embeddings.DUP_OFFSET]
     self_rep = originals[originals["cluster_rep"] == originals["vec_id"]]
     assert len(self_rep) == N_DOCS  # random gaussians never collide at 0.92
+
+
+def test_ann_ivf_checked_matches_its_sql_replica(_ray):
+    """The medoid-quantizer IVF must value-match its generated DuckDB
+    replica (the driver-oracle contract) AND keep useful recall vs brute
+    force (3/8 probes of a content-keyed medoid quantizer ≈ 0.6 recall@5
+    on random gaussians — the documented checkability trade-off)."""
+    import duckdb
+
+    got = embeddings.ann_ivf_checked(SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    exp = con.execute(embeddings.ann_ivf_checked_sql()).df()
+    assert got.reset_index(drop=True).astype("int64").equals(exp.astype("int64"))
+
+    bf = embeddings.ann_brute_force(SF_DIR)
+    bs = set(map(tuple, bf[["query_id", "vec_id"]].to_numpy()))
+    ivs = set(map(tuple, got[["query_id", "vec_id"]].to_numpy()))
+    assert len(bs & ivs) / len(bs) >= 0.5
+
+
+def test_semantic_dedup_checked_matches_sql_and_planted_truth(_ray):
+    """Nearest-earlier-rep SemDeDup: value-identical to its DuckDB replica,
+    and the SQL-constructible planted copies (first component +0.1) resolve
+    to their source whenever both land in the same medoid cell (≥85%;
+    cell-boundary misses keep themselves, never merge to a stranger)."""
+    import duckdb
+
+    out = embeddings.semantic_dedup_checked(SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    exp = con.execute(embeddings.semantic_dedup_checked_sql()).df()
+    assert np.array_equal(out["vec_id"].to_numpy(), exp["vec_id"].to_numpy())
+    assert np.array_equal(out["rep_id"].to_numpy(), exp["rep_id"].to_numpy())
+    assert np.array_equal(out["keep"].to_numpy(), exp["keep"].to_numpy())
+
+    assert len(out) == 2 * N_DOCS and out["vec_id"].is_unique
+    copies = out[out["vec_id"] >= embeddings.DUP_OFFSET]
+    merged = copies[copies["rep_id"] == copies["vec_id"] - embeddings.DUP_OFFSET]
+    unmerged = copies[copies["rep_id"] == copies["vec_id"]]
+    assert len(merged) + len(unmerged) == N_DOCS  # never a stranger rep
+    assert len(merged) / N_DOCS >= 0.85
+    assert not merged["keep"].any() and unmerged["keep"].all()
+    originals = out[out["vec_id"] < embeddings.DUP_OFFSET]
+    assert (originals["rep_id"] == originals["vec_id"]).all()
