@@ -6,8 +6,10 @@ audio (stages/decode.py — WAV/G.711/pcm16 + ADPCM extension), images
 functions/image_codecs.py) and video (Y4M/YUV4MPEG2 C444+C420 demux with
 BT.601 conversion — functions/video_codecs.py), alongside the
 deterministic header-free fake codecs (``fake-rgb8`` / ``fake-vid8``) used
-by tests. Only formats that genuinely require a native library
-(jpeg/webp images, mp4/webm containers) raise a declared
+by tests, and an EBML/Matroska container demux (functions/mkv_codec.py)
+whose raw-video tracks decode fully. Only pieces that genuinely require a
+native library (webp / progressive-jpeg images, the mp4 container,
+compressed mkv codec bitstreams) raise a declared
 ``NotImplementedError``. The Ray-side plumbing (schema, actor-pool
 signature, batch sizing, output layout) is uniform across all of them.
 """
@@ -124,16 +126,19 @@ class FrameSampleStage:
     """Actor-pool stage: sample every k-th frame of a video into one row
     per sampled frame (flat-map shape: output rows ≠ input rows).
 
-    REAL demuxer for ``y4m`` (YUV4MPEG2 — pure-numpy parse + BT.601
-    conversion, functions/video_codecs.py) plus the header-free
-    ``fake-vid8`` test codec; containers that need a native library
-    (mp4/webm) remain declared stubs."""
+    REAL demuxers for ``y4m`` (YUV4MPEG2 — pure-numpy parse + BT.601
+    conversion, functions/video_codecs.py) and ``mkv``/``webm``
+    (EBML/Matroska container demux, functions/mkv_codec.py — raw-video
+    tracks decode fully; compressed codecs raise a declared stub naming
+    the codec), plus the header-free ``fake-vid8`` test codec. Only
+    ``mp4`` (ISO-BMFF) remains a declared container stub."""
 
     def __init__(self, every_k: int = 4):
         self.every_k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from data_quality_ray.functions import video_codecs
+        from data_quality_ray.functions.mkv_codec import decode_mkv
 
         vids, frames, idxs = [], [], []
         for i in range(batch.num_rows):
@@ -146,9 +151,11 @@ class FrameSampleStage:
                 arr = buf.reshape(nf, h, w, 3)
             elif fmt == "y4m":
                 arr = video_codecs.decode_y4m(batch["bytes"][i].as_py())
+            elif fmt in ("mkv", "webm"):
+                arr = decode_mkv(batch["bytes"][i].as_py())
             else:
                 raise NotImplementedError(
-                    f"video container {fmt!r}: needs a native demuxer (mp4/webm) "
+                    f"video container {fmt!r}: needs a native demuxer (mp4) "
                     "not available in this environment"
                 )
             for f in range(0, len(arr), self.every_k):

@@ -239,3 +239,73 @@ def test_ppm_roundtrip_and_comments():
     assert np.array_equal(ic.decode_ppm(buf), img)
     with pytest.raises(ValueError):
         ic.decode_ppm(b"P3\n1 1\n255\n000")
+
+
+def test_mkv_rawvideo_roundtrip_and_probe():
+    """EBML/Matroska container (VERDICT r4 item 8): a planted raw-video
+    container must round-trip bit-exactly through the pure-python demux,
+    the probe must report the container structure, and compressed codecs
+    must raise a DECLARED stub naming the codec (demux itself succeeds)."""
+    import pytest as _pytest
+
+    from data_quality_ray.functions import mkv_codec as mk
+
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 256, (9, 6, 8, 3), dtype=np.uint8)
+    buf = mk.encode_mkv_rawvideo(frames)
+    assert buf[:4] == bytes.fromhex("1A45DFA3")  # EBML magic
+
+    p = mk.mkv_probe(buf)
+    assert p["doctype"] == "matroska" and p["codec_id"] == "V_UNCOMPRESSED"
+    assert (p["width"], p["height"], p["n_blocks"]) == (8, 6, 9)
+    back = mk.decode_mkv(buf)
+    assert np.array_equal(back, frames)
+
+    # webm doctype with a compressed codec: demux works, decode is declared
+    vp9 = buf.replace(b"V_UNCOMPRESSED", b"V_VP9\x00ACOMPRES")
+    assert mk.mkv_probe(vp9)["codec_id"].startswith("V_VP9")
+    with _pytest.raises(NotImplementedError, match="V_VP9"):
+        mk.decode_mkv(vp9)
+    with _pytest.raises(ValueError):
+        mk.mkv_probe(b"RIFF not ebml at all")
+
+
+def test_frame_sample_stage_demuxes_mkv(ray_session):
+    """A planted mkv container must round-trip through FrameSampleStage on
+    a real Ray actor pool alongside the other container formats."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_ray.functions import mkv_codec as mk
+    from data_quality_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i, fmt in enumerate(["mkv", "webm", "fake-vid8"]):
+        arr = rng.integers(0, 256, (8, 6, 8, 3), dtype=np.uint8)
+        payload = (
+            arr.tobytes()
+            if fmt == "fake-vid8"
+            else mk.encode_mkv_rawvideo(arr, doctype=fmt.encode())
+        )
+        rows.append((f"vid-{i}", payload, 8, 6, 8, fmt, arr))
+    tbl = pa.table(
+        {
+            "video_id": pa.array([r[0] for r in rows], pa.string()),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "width": pa.array([r[2] for r in rows], pa.int32()),
+            "height": pa.array([r[3] for r in rows], pa.int32()),
+            "n_frames": pa.array([r[4] for r in rows], pa.int32()),
+            "format": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(mm.FrameSampleStage, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == 3 * 2  # 8 frames sampled every 4 → 2 per video
+    for vid, _, _, _, _, fmt, arr in rows:
+        g = out[out["video_id"] == vid].sort_values("frame_idx")
+        assert g["frame_idx"].tolist() == [0, 4]
+        assert g["frame_bytes"].iloc[1] == arr[4].tobytes()
