@@ -163,6 +163,12 @@ def _q_events_sessions_streaming(sf_dir: str):
     return streaming_sessions(sf_dir)
 
 
+def _q_events_hourly_streaming(sf_dir: str):
+    from data_quality_ray.pipelines.streaming import streaming_hourly_windows
+
+    return streaming_hourly_windows(sf_dir)
+
+
 def _q_image_near_dup(sf_dir: str):
     from data_quality_ray.pipelines.multimodal_dedup import image_near_dup
 
@@ -251,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_checked": embeddings.semantic_dedup_checked,
         # --- reworked in round 5 (distributed source; needs a fresh row) ---
         "events_sessions_streaming": _q_events_sessions_streaming,
+        "events_hourly_streaming": _q_events_hourly_streaming,
         # --- SQL-oracled, green ONCE (rounds 1–4) ---
         "orders_percent_rank": relational_ext.orders_percent_rank,
         "part_mode_type": relational_ext.part_mode_type,
@@ -295,8 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": documents.doc_top_terms,
         "doc_length_histogram": documents.doc_length_histogram,
         "events_props_extract": relational_ext.events_props_extract,
-        "events_weekly_users": relational_ext.events_weekly_users,
         # ---------------- tail (entry 51+): SQL-oracled veterans ----------
+        "events_weekly_users": relational_ext.events_weekly_users,
         "events_value_median": relational_ext.events_value_median,
         "revenue_rollup": relational_ext.revenue_rollup,
         "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
@@ -379,9 +386,10 @@ def oracle_sql() -> dict[str, str]:
         "parts_filter_project": relational.PARTS_FILTER_PROJECT_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sessions": relational.EVENTS_SESSIONS_SQL,
-        # the streaming sessionizer must converge to EXACTLY the batch
-        # gap-sessionization once the final watermark flushes
+        # the streaming operators must converge to EXACTLY their batch
+        # twins once the final watermark flushes
         "events_sessions_streaming": relational.EVENTS_SESSIONS_SQL,
+        "events_hourly_streaming": relational.EVENTS_HOURLY_SQL,
         "orders_running_total": relational.ORDERS_RUNNING_TOTAL_SQL,
         "events_asof_orders": relational.EVENTS_ASOF_ORDERS_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,

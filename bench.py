@@ -174,6 +174,10 @@ def main() -> None:
         "events_sessions_streaming",
         lambda: streaming_mod.streaming_sessions(sf_dir),
     )
+    bench(
+        "events_hourly_streaming",
+        lambda: streaming_mod.streaming_hourly_windows(sf_dir),
+    )
 
     # round-5 additions: checked ANN/semantic variants (SQL-oracled)
     bench("ann_ivf_checked", lambda: embeddings.ann_ivf_checked(sf_dir))

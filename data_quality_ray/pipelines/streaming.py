@@ -159,22 +159,27 @@ class SessionShard:
 
 
 def build_ordered_log(
-    sf_dir: str, log_dir: str, n_shards: int = N_STREAM_SHARDS
+    sf_dir: str,
+    log_dir: str,
+    n_shards: int = N_STREAM_SHARDS,
+    seg_cols: tuple[str, ...] = ("user_id", "ts_us"),
 ) -> tuple[dict[int, list[str]], str]:
     """Hash-partition the events table into an ordered log: one map-only
     Ray Data pass; each input block writes ≤ n_shards ts-sorted segment
-    files. Returns ({shard: [segment paths]}, dataset stats string — the
-    no-all-to-all assertion hook). Segment names are content-keyed
-    (min event_id is unique per segment), so a re-run is idempotent."""
+    files carrying ``seg_cols`` (``ts_us`` is derived from ``ts``; other
+    names are read through). Returns ({shard: [segment paths]}, dataset
+    stats string — the no-all-to-all assertion hook). Segment names are
+    content-keyed (min event_id is unique per segment), so a re-run is
+    idempotent."""
+    src_cols = sorted(
+        {"event_id", "user_id"} | {("ts" if c == "ts_us" else c) for c in seg_cols}
+    )
 
     def write_segments(t: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "ts_us": ts_us(t["ts"]),
-            }
-        ).sort_by("ts_us")
+        cols = {"event_id": t["event_id"], "user_id": t["user_id"]}
+        for c in seg_cols:
+            cols[c] = ts_us(t["ts"]) if c == "ts_us" else t[c]
+        t = pa.table(cols).sort_by("ts_us")
         shard = pa.array(t["user_id"].to_numpy() % n_shards, pa.int64())
         rows = []
         for s in range(n_shards):
@@ -185,7 +190,7 @@ def build_ordered_log(
             os.makedirs(d, exist_ok=True)
             seg_id = int(pc.min(sub["event_id"]).as_py())
             path = os.path.join(d, f"seg-{seg_id}.parquet")
-            pq.write_table(sub.select(["user_id", "ts_us"]), path)
+            pq.write_table(sub.select(list(seg_cols)), path)
             rows.append((s, path, len(sub)))
         return pa.table(
             {
@@ -195,9 +200,9 @@ def build_ordered_log(
             }
         )
 
-    ds = rd.read_parquet(
-        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
-    ).map_batches(write_segments, batch_format="pyarrow")
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=src_cols).map_batches(
+        write_segments, batch_format="pyarrow"
+    )
     manifest = ds.to_pandas()  # O(n_segments) rows — tiny
     stats = ds.stats()
     paths: dict[int, list[str]] = {s: [] for s in range(n_shards)}
@@ -208,44 +213,97 @@ def build_ordered_log(
 
 class _SegmentCursor:
     """Streaming reader over one ts-sorted segment file: holds ONE
-    in-flight row-group's arrays at a time."""
+    in-flight row-group's column arrays at a time. ``cols[0]`` must be
+    ``ts_us`` (the merge key); the rest are carried through."""
 
-    def __init__(self, path: str, batch_rows: int):
+    def __init__(self, path: str, batch_rows: int, cols: tuple[str, ...] = ("ts_us", "user_id")):
+        assert cols[0] == "ts_us"
+        self.cols = cols
         self._it = pq.ParquetFile(path).iter_batches(
-            batch_size=batch_rows, columns=["user_id", "ts_us"]
+            batch_size=batch_rows, columns=list(cols)
         )
-        self.users: np.ndarray | None = None
-        self.ts: np.ndarray | None = None
+        self.arrs: list | None = None
         self.pos = 0
         self._refill()
 
     def _refill(self) -> None:
         for b in self._it:
             if b.num_rows:
-                self.users = b.column("user_id").to_numpy()
-                self.ts = b.column("ts_us").to_numpy()
+                self.arrs = [
+                    b.column(c).to_numpy(zero_copy_only=False) for c in self.cols
+                ]
                 self.pos = 0
                 return
-        self.users = self.ts = None  # exhausted
+        self.arrs = None  # exhausted
+
+    @property
+    def ts(self) -> "np.ndarray | None":
+        return None if self.arrs is None else self.arrs[0]
 
     @property
     def head(self) -> int | None:
-        return None if self.ts is None else int(self.ts[self.pos])
+        return None if self.arrs is None else int(self.arrs[0][self.pos])
 
-    def take_until(self, bound: int | None) -> tuple[np.ndarray, np.ndarray]:
+    def take_until(self, bound: int | None) -> list[np.ndarray]:
         """Pop the longest prefix with ts ≤ bound (all remaining rows of
-        the current chunk when bound is None) — one vectorized slice."""
+        the current chunk when bound is None) — one vectorized slice per
+        column, ts first."""
+        ts = self.arrs[0]
         hi = (
-            len(self.ts)
+            len(ts)
             if bound is None
-            else int(np.searchsorted(self.ts[self.pos :], bound, side="right"))
-            + self.pos
+            else int(np.searchsorted(ts[self.pos :], bound, side="right")) + self.pos
         )
-        u, t = self.users[self.pos : hi], self.ts[self.pos : hi]
+        out = [a[self.pos : hi] for a in self.arrs]
         self.pos = hi
-        if self.pos >= len(self.ts):
+        if self.pos >= len(ts):
             self._refill()
-        return u, t
+        return out
+
+
+def _merge_replay(
+    paths: list[str],
+    batch_rows: int,
+    cols: tuple[str, ...],
+    feed,
+    stats: dict,
+) -> None:
+    """K-way run merge over ts-sorted segment files: each step pops the
+    longest prefix of the minimum-head segment that stays below every
+    other head (vectorized runs, never Python rows), buffers to
+    ``batch_rows`` micro-batches in global ts order, and calls
+    ``feed([ts, *other_cols])`` per micro-batch. Increments
+    stats['merge_runs'] per run and stats['n_batches'] per feed."""
+    cursors = [_SegmentCursor(p, batch_rows, cols) for p in paths]
+    bufs: list[list[np.ndarray]] = []
+    buffered = 0
+
+    def flush_bufs(upto_all: bool) -> None:
+        nonlocal bufs, buffered
+        if not bufs:
+            return
+        merged = [np.concatenate([b[j] for b in bufs]) for j in range(len(cols))]
+        bufs, buffered = [], 0
+        n = len(merged[0])
+        for lo in range(0, n, batch_rows):
+            stats["n_batches"] += 1
+            feed([a[lo : lo + batch_rows] for a in merged])
+
+    while True:
+        live = [c for c in cursors if c.head is not None]
+        if not live:
+            break
+        heads = [c.head for c in live]
+        i = int(np.argmin(heads))
+        others = [h for j, h in enumerate(heads) if j != i]
+        bound = min(others) if others else None
+        run = live[i].take_until(bound)  # bound ≥ own head ⇒ ≥1 row
+        stats["merge_runs"] += 1
+        bufs.append(run)
+        buffered += len(run[0])
+        if buffered >= batch_rows:
+            flush_bufs(True)
+    flush_bufs(True)
 
 
 @ray.remote(num_cpus=0.25)
@@ -280,6 +338,7 @@ class ShardWorker:
             "n_watermark_drains": 0,
             "emitted_before_flush": 0,
             "merge_runs": 0,
+            "n_batches": 0,
         }
 
         def fold(closed: pd.DataFrame) -> int:
@@ -292,48 +351,19 @@ class ShardWorker:
                     max_events[uid] = n
             return len(closed)
 
-        cursors = [_SegmentCursor(p, self.batch_rows) for p in self.paths]
-        buf_u: list[np.ndarray] = []
-        buf_t: list[np.ndarray] = []
-        buffered = 0
-        n_batches = 0
-
-        def feed(users: np.ndarray, ts: np.ndarray) -> None:
-            nonlocal n_batches
+        def feed(cols: list[np.ndarray]) -> None:
+            ts, users = cols
             st.ingest(users, ts)
             stats["rows_streamed"] += len(users)
-            n_batches += 1
-            if n_batches % self.wm_every == 0:
+            if stats["n_batches"] % self.wm_every == 0:
                 stats["n_watermark_drains"] += 1
                 stats["emitted_before_flush"] += fold(
                     st.advance_watermark(int(ts[-1]))
                 )
 
-        while True:
-            live = [c for c in cursors if c.head is not None]
-            if not live:
-                break
-            # minimum-head segment; longest run below every other head
-            heads = [c.head for c in live]
-            i = int(np.argmin(heads))
-            others = [h for j, h in enumerate(heads) if j != i]
-            bound = min(others) if others else None
-            u, t = live[i].take_until(bound)  # bound ≥ own head ⇒ ≥1 row
-            stats["merge_runs"] += 1
-            buf_u.append(u)
-            buf_t.append(t)
-            buffered += len(u)
-            if buffered >= self.batch_rows:
-                users = np.concatenate(buf_u)
-                ts = np.concatenate(buf_t)
-                buf_u, buf_t, buffered = [], [], 0
-                # feed in batch_rows micro-batches (keeps watermark cadence)
-                for lo in range(0, len(users), self.batch_rows):
-                    feed(users[lo : lo + self.batch_rows], ts[lo : lo + self.batch_rows])
-        if buffered:
-            users = np.concatenate(buf_u)
-            ts = np.concatenate(buf_t)
-            feed(users, ts)
+        _merge_replay(
+            self.paths, self.batch_rows, ("ts_us", "user_id"), feed, stats
+        )
         fold(st.flush())
 
         out = pd.DataFrame(
@@ -391,6 +421,134 @@ def streaming_sessions(
             .sort_values("user_id")
             .reset_index(drop=True)
         )
+    if return_stats:
+        return out, shard_stats, plan_stats
+    return out
+
+
+HOUR_US = 3_600_000_000
+
+
+@ray.remote(num_cpus=0.25)
+class WindowShardWorker:
+    """Tumbling event-time windows over one log partition: the OTHER
+    classic streaming-state shape (keyed pre-aggregation + watermark
+    emission). State per (event_type, hour) is one [count, sum_e6] pair;
+    a window is emitted as soon as the shard watermark passes its end —
+    output before end-of-stream, memory O(open windows), never O(stream).
+    Partials are per-shard; the final cross-shard combine is a tiny
+    driver-side sum over O(types × hours) rows (window aggregation is
+    commutative, so no key alignment between shards is needed — unlike
+    sessionization's per-user ownership)."""
+
+    def __init__(
+        self, shard_id: int, seg_paths: list[str], batch_rows: int, wm_every: int
+    ):
+        self.shard_id = shard_id
+        self.paths = list(seg_paths)
+        self.batch_rows = int(batch_rows)
+        self.wm_every = int(wm_every)
+
+    def run(self) -> tuple[pd.DataFrame, dict]:
+        open_w: dict[tuple[str, int], list[int]] = {}
+        out_rows: list[tuple[str, int, int, int]] = []
+        stats = {
+            "shard": self.shard_id,
+            "rows_streamed": 0,
+            "n_segments": len(self.paths),
+            "n_watermark_drains": 0,
+            "emitted_before_flush": 0,
+            "merge_runs": 0,
+            "n_batches": 0,
+            "peak_open_windows": 0,
+        }
+
+        def emit_complete(wm_us: int) -> None:
+            h_max = wm_us // HOUR_US - 1  # (h+1)*H ≤ wm ⟺ h ≤ wm//H − 1
+            done = [k for k in open_w if k[1] <= h_max]
+            for k in done:
+                n, e6 = open_w.pop(k)
+                out_rows.append((k[0], k[1], n, e6))
+            stats["emitted_before_flush"] += len(done)
+
+        def feed(cols: list[np.ndarray]) -> None:
+            ts, etype, val = cols
+            stats["rows_streamed"] += len(ts)
+            e6 = np.floor(val * 1e6 + 0.5).astype(np.int64)  # = batch kernel
+            df = pd.DataFrame(
+                {"t": etype, "h": ts // HOUR_US, "n": 1, "e6": e6}
+            ).groupby(["t", "h"], as_index=False).sum()
+            for t, h, n, s in df.itertuples(index=False):
+                k = (t, int(h))
+                if k in open_w:
+                    open_w[k][0] += int(n)
+                    open_w[k][1] += int(s)
+                else:
+                    open_w[k] = [int(n), int(s)]
+            stats["peak_open_windows"] = max(stats["peak_open_windows"], len(open_w))
+            if stats["n_batches"] % self.wm_every == 0:
+                stats["n_watermark_drains"] += 1
+                emit_complete(int(ts[-1]))
+
+        _merge_replay(
+            self.paths, self.batch_rows, ("ts_us", "event_type", "value"), feed, stats
+        )
+        for k in sorted(open_w):  # final flush
+            n, e6 = open_w.pop(k)
+            out_rows.append((k[0], k[1], n, e6))
+        out = pd.DataFrame(
+            out_rows, columns=["event_type", "hour", "n", "e6"]
+        ).astype({"hour": "int64", "n": "int64", "e6": "int64"})
+        stats["result_rows"] = len(out)
+        return out, stats
+
+
+def streaming_hourly_windows(
+    sf_dir: str,
+    batch_rows: int = 4096,
+    n_shards: int = N_STREAM_SHARDS,
+    watermark_every: int = 4,
+    return_stats: bool = False,
+):
+    """Tumbling 1-hour event-time windows per event_type as a STREAM:
+    same distributed-source shape as :func:`streaming_sessions` (map-only
+    ordered-log build, shard-owned replay workers, per-shard watermarks),
+    but with pre-aggregated window partials and a tiny commutative final
+    combine. Value-identical to the batch ``relational.events_hourly`` /
+    EVENTS_HOURLY_SQL at end-of-stream; mid-stream emissions are pinned by
+    tests to cover every window whose end the watermark passed."""
+    log_dir = tempfile.mkdtemp(prefix="stream_wlog_")
+    try:
+        paths, plan_stats = build_ordered_log(
+            sf_dir, log_dir, n_shards, seg_cols=("ts_us", "event_type", "value")
+        )
+        workers = [
+            WindowShardWorker.remote(s, paths[s], batch_rows, watermark_every)
+            for s in range(n_shards)
+            if paths[s]
+        ]
+        results = ray.get([w.run.remote() for w in workers])
+        for w in workers:
+            ray.kill(w)
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+    frames = [r[0] for r in results]
+    shard_stats = [r[1] for r in results]
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(["event_type", "hour"], as_index=False)
+        .agg(n_events=("n", "sum"), e6=("e6", "sum"))
+    )
+    merged["value_sum"] = ((merged.pop("e6").to_numpy() + 5000) // 10000) / 100.0
+    merged["window_start"] = pd.to_datetime(
+        merged.pop("hour").to_numpy() * HOUR_US, unit="us"
+    )
+    out = (
+        merged[["event_type", "window_start", "n_events", "value_sum"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
     if return_stats:
         return out, shard_stats, plan_stats
     return out

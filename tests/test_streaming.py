@@ -148,3 +148,45 @@ def test_streaming_merge_handles_interleaved_segments(_ray):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_hourly_windows_match_batch_and_oracle(_ray):
+    """The streaming tumbling-window aggregate must converge EXACTLY to
+    the batch events_hourly / its SQL oracle, emit completed windows
+    mid-stream, and keep the log build all-to-all-free."""
+    import duckdb
+
+    from data_quality_ray.pipelines import relational
+    from data_quality_ray.pipelines.streaming import streaming_hourly_windows
+
+    got, stats, plan = streaming_hourly_windows(
+        SF_DIR, batch_rows=128, watermark_every=2, return_stats=True
+    )
+    assert got.equals(relational.events_hourly(SF_DIR))
+    assert "AllToAll" not in plan and "Sort" not in plan
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp = con.execute(relational.EVENTS_HOURLY_SQL).df()
+    assert np.array_equal(got["n_events"].to_numpy(), exp["n_events"].to_numpy())
+    assert np.array_equal(got["value_sum"].to_numpy(), exp["value_sum"].to_numpy())
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+
+    # streaming properties: windows left the workers BEFORE the flush, and
+    # worker state is window-grain — peak open windows never exceeds the
+    # shard's total window count (watermark drains keep it below)
+    assert sum(s["emitted_before_flush"] for s in stats) > 0
+    assert all(s["peak_open_windows"] <= s["result_rows"] for s in stats)
+    assert sum(s["result_rows"] for s in stats) >= len(got)  # shard partials
+
+
+def test_streaming_hourly_windows_tiny_batches(_ray):
+    """Window state must survive micro-batch boundaries (batch_rows=7,
+    watermark every batch) and still converge exactly."""
+    from data_quality_ray.pipelines import relational
+    from data_quality_ray.pipelines.streaming import streaming_hourly_windows
+
+    got = streaming_hourly_windows(SF_DIR, batch_rows=7, watermark_every=1)
+    assert got.equals(relational.events_hourly(SF_DIR))
