@@ -127,11 +127,12 @@ class FrameSampleStage:
     per sampled frame (flat-map shape: output rows ≠ input rows).
 
     REAL demuxers for ``y4m`` (YUV4MPEG2 — pure-numpy parse + BT.601
-    conversion, functions/video_codecs.py) and ``mkv``/``webm``
-    (EBML/Matroska container demux, functions/mkv_codec.py — raw-video
-    tracks decode fully; compressed codecs raise a declared stub naming
-    the codec), plus the header-free ``fake-vid8`` test codec. Only
-    ``mp4`` (ISO-BMFF) remains a declared container stub."""
+    conversion, functions/video_codecs.py), ``mkv``/``webm``
+    (EBML/Matroska container demux, functions/mkv_codec.py) and ``mp4``
+    (ISO-BMFF box demux with stsz/stsc/stco sample resolution,
+    functions/mp4_codec.py) — raw-video tracks decode fully; compressed
+    codec bitstreams raise a declared stub naming the codec — plus the
+    header-free ``fake-vid8`` test codec."""
 
     def __init__(self, every_k: int = 4):
         self.every_k = every_k
@@ -139,6 +140,7 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from data_quality_ray.functions import video_codecs
         from data_quality_ray.functions.mkv_codec import decode_mkv
+        from data_quality_ray.functions.mp4_codec import decode_mp4
 
         vids, frames, idxs = [], [], []
         for i in range(batch.num_rows):
@@ -153,10 +155,12 @@ class FrameSampleStage:
                 arr = video_codecs.decode_y4m(batch["bytes"][i].as_py())
             elif fmt in ("mkv", "webm"):
                 arr = decode_mkv(batch["bytes"][i].as_py())
+            elif fmt == "mp4":
+                arr = decode_mp4(batch["bytes"][i].as_py())
             else:
                 raise NotImplementedError(
-                    f"video container {fmt!r}: needs a native demuxer (mp4) "
-                    "not available in this environment"
+                    f"video container {fmt!r}: no demuxer for this format "
+                    "in this environment"
                 )
             for f in range(0, len(arr), self.every_k):
                 vids.append(batch["video_id"][i].as_py())

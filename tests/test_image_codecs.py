@@ -279,15 +279,18 @@ def test_frame_sample_stage_demuxes_mkv(ray_session):
     from data_quality_ray.functions import mkv_codec as mk
     from data_quality_ray.stages import multimodal as mm
 
+    from data_quality_ray.functions import mp4_codec as m4
+
     rng = np.random.default_rng(23)
     rows = []
-    for i, fmt in enumerate(["mkv", "webm", "fake-vid8"]):
+    for i, fmt in enumerate(["mkv", "webm", "fake-vid8", "mp4"]):
         arr = rng.integers(0, 256, (8, 6, 8, 3), dtype=np.uint8)
-        payload = (
-            arr.tobytes()
-            if fmt == "fake-vid8"
-            else mk.encode_mkv_rawvideo(arr, doctype=fmt.encode())
-        )
+        if fmt == "fake-vid8":
+            payload = arr.tobytes()
+        elif fmt == "mp4":
+            payload = m4.encode_mp4_rawvideo(arr)
+        else:
+            payload = mk.encode_mkv_rawvideo(arr, doctype=fmt.encode())
         rows.append((f"vid-{i}", payload, 8, 6, 8, fmt, arr))
     tbl = pa.table(
         {
@@ -304,8 +307,38 @@ def test_frame_sample_stage_demuxes_mkv(ray_session):
         .map_batches(mm.FrameSampleStage, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    assert len(out) == 3 * 2  # 8 frames sampled every 4 → 2 per video
+    assert len(out) == 4 * 2  # 8 frames sampled every 4 → 2 per video
     for vid, _, _, _, _, fmt, arr in rows:
         g = out[out["video_id"] == vid].sort_values("frame_idx")
         assert g["frame_idx"].tolist() == [0, 4]
         assert g["frame_bytes"].iloc[1] == arr[4].tobytes()
+
+
+def test_mp4_rawvideo_roundtrip_and_probe():
+    """ISO-BMFF container: a planted raw-video mp4 must round-trip
+    bit-exactly through the pure-python box demux (stsd/stsz/stsc/stco
+    sample resolution), and compressed codecs must raise a declared stub
+    naming the fourcc while the demux itself still succeeds."""
+    import pytest as _pytest
+
+    from data_quality_ray.functions import mp4_codec as m4
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, (7, 6, 8, 3), dtype=np.uint8)
+    buf = m4.encode_mp4_rawvideo(frames)
+    assert buf[4:8] == b"ftyp"
+
+    p = m4.mp4_probe(buf)
+    assert (p["brand"], p["codec"]) == ("isom", "raw ")
+    assert (p["width"], p["height"], len(p["samples"])) == (8, 6, 7)
+    assert np.array_equal(m4.decode_mp4(buf), frames)
+
+    # patch the stsd sample-entry fourcc (the LAST 'raw ' — the hdlr name
+    # also contains the substring) to a compressed codec
+    i = buf.rindex(b"raw ")
+    avc = buf[:i] + b"avc1" + buf[i + 4 :]
+    assert m4.mp4_probe(avc)["codec"] == "avc1"
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        m4.decode_mp4(avc)
+    with _pytest.raises(ValueError):
+        m4.mp4_probe(b"RIFFnot-a-bmff-file")
