@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- reworked in round 5 (distributed source; needs a fresh row) ---
         "events_sessions_streaming": _q_events_sessions_streaming,
         "events_hourly_streaming": _q_events_hourly_streaming,
+        # --- new in round 5: sequence packing (distributed exclusive scan) ---
+        "doc_pack_sequences": documents.doc_pack_sequences,
         # --- SQL-oracled, green ONCE (rounds 1–4) ---
         "orders_percent_rank": relational_ext.orders_percent_rank,
         "part_mode_type": relational_ext.part_mode_type,
@@ -301,8 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": _q_doc_split,
         "doc_top_terms": documents.doc_top_terms,
         "doc_length_histogram": documents.doc_length_histogram,
-        "events_props_extract": relational_ext.events_props_extract,
         # ---------------- tail (entry 51+): SQL-oracled veterans ----------
+        "events_props_extract": relational_ext.events_props_extract,
         "events_weekly_users": relational_ext.events_weekly_users,
         "events_value_median": relational_ext.events_value_median,
         "revenue_rollup": relational_ext.revenue_rollup,
@@ -465,4 +467,5 @@ FROM documents ORDER BY doc_id
         # constants as the Ray path — never hand-edit one side)
         "ann_ivf_checked": embeddings.ann_ivf_checked_sql(),
         "semantic_dedup_checked": embeddings.semantic_dedup_checked_sql(),
+        "doc_pack_sequences": documents.doc_pack_sequences_sql(),
     }

@@ -1067,3 +1067,109 @@ SELECT b.doc_id, b.n_tokens, b.n_2grams, b.dup_2grams,
 FROM base b JOIN tc USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-chunk) — round 5
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 256
+
+
+def doc_pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing: concatenate every document's
+    whitespace tokens in doc_id order and cut fixed ``seq_len``-token
+    training sequences; return each doc's placement — (doc_id, n_tokens,
+    start_token, first_seq, last_seq). The packing step every LLM
+    pretraining pipeline runs after tokenization.
+
+    Scale shape: a DISTRIBUTED EXCLUSIVE SCAN, never a global sort or a
+    single-process cumsum. Docs are bucketed into 256 equal-width doc_id
+    ranges — PREFIX blocks of the pack order — so (1) one tiny
+    ``groupby(sub).Sum`` gives per-bucket token totals (≤256 rows to the
+    driver), (2) their exclusive prefix sums are the bucket base offsets,
+    and (3) one bounded 256-way ``groupby(sub)`` cumsums locally and adds
+    the broadcast base (the doc_shuffle_shards two-phase-rank machinery,
+    generalized from counts to weighted sums). Pair a non-default
+    ``seq_len`` with ``doc_pack_sequences_sql(seq_len)``."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    ids_only = _docs(sf_dir, ["doc_id"])
+    bounds = ids_only.aggregate(_Min("doc_id"), _Max("doc_id"))
+    mn, mx = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    span = max(mx - mn + 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        n = np.array(
+            [len(T.ws_tokens(x)) for x in t["text"].to_pylist()], dtype=np.int64
+        )
+        sub = ((ids - mn) * 256 // span).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "sub": pa.array(sub, pa.int64()),
+            }
+        )
+
+    src = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    totals = (
+        src.groupby("sub").aggregate(_Sum("n_tokens", alias_name="tok")).to_pandas()
+        .sort_values("sub")
+    )
+    base: dict[int, int] = {}
+    running = 0
+    for sub, tok in zip(totals["sub"], totals["tok"]):
+        base[int(sub)] = running
+        running += int(tok)
+    bref = ray.put(base)
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(bref)[int(g["sub"].iloc[0])]
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        start = off + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "start_token": start,
+                "first_seq": start // seq_len,
+                "last_seq": (start + np.maximum(n, 1) - 1) // seq_len,
+            }
+        )
+
+    out = (
+        src.groupby("sub")  # bounded key: 256 prefix-range buckets
+        .map_groups(place, batch_format="pandas")
+        .to_pandas()
+        .astype("int64")
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_pack_sequences_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    """DuckDB replica of :func:`doc_pack_sequences`: exclusive window
+    cumsum over doc_id order, identical chunk arithmetic."""
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_token
+  FROM f
+)
+SELECT doc_id, n_tokens, start_token,
+       start_token // {seq_len} AS first_seq,
+       (start_token + greatest(n_tokens, 1) - 1) // {seq_len} AS last_seq
+FROM s ORDER BY doc_id
+"""
