@@ -7,14 +7,17 @@ Annex-K quantization/Huffman tables, and a bit reader — all implementable
 from the published standard.
 
 Decode supports: baseline sequential DCT (SOF0; SOF1 extended-sequential
-with 8-bit precision decodes identically), grayscale or 3-component YCbCr,
-arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 via replication
-upsampling), restart intervals (DRI/RSTn). Progressive (SOF2) and
-arithmetic coding raise ``NotImplementedError`` — those remain the declared
-native-library seams along with webp.
+with 8-bit precision decodes identically), PROGRESSIVE DCT (SOF2, Annex G:
+spectral selection + successive approximation — DC/AC first and refinement
+scans with EOBn runs; round 5), grayscale or 3-component YCbCr, arbitrary
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 via replication upsampling),
+restart intervals (DRI/RSTn). Arithmetic coding and the remaining SOF
+variants raise ``NotImplementedError`` — the declared native-library seams
+along with webp.
 
-Encode (used to synthesize test fixtures) emits baseline JFIF: 4:4:4 or
-4:2:0, standard Annex-K tables with libjpeg-style quality scaling.
+Encode (used to synthesize test fixtures) emits baseline JFIF (4:4:4 or
+4:2:0) or progressive 4:4:4 (:func:`encode_jpeg_progressive`), standard
+Annex-K tables with libjpeg-style quality scaling.
 
 The per-symbol Huffman loop is Python (inherently bit-serial); the DCT /
 IDCT / quantize / color transforms are vectorized over all blocks at once.
@@ -438,6 +441,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     scan_pos = None
+    progressive = False
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -457,7 +461,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 nat[ZIGZAG] = zz  # stored zigzag → natural order
                 qts[tq] = nat
                 dp += 65
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (8-bit sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = data[0]
             if prec != 8:
                 raise NotImplementedError(f"jpeg: precision {prec}")
@@ -466,8 +470,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, sf, tq = data[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
-        elif marker == 0xC2:
-            raise NotImplementedError("jpeg: progressive DCT (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg: SOF marker 0xFF{marker:02X} not supported")
         elif marker == 0xC4:  # DHT
@@ -482,6 +485,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
+            if progressive:
+                # hand the whole multi-scan tail to the progressive decoder
+                return _decode_progressive(
+                    buf, pos, qts, huff, comps, h, w, restart_interval
+                )
             ns = data[0]
             sel = {}
             for i in range(ns):
@@ -543,6 +551,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         nat[ZIGZAG] = zz
                         comp["coef"][bidx] = nat.reshape(8, 8) * qts[comp["tq"]].reshape(8, 8)
 
+    return _planes_to_rgb(comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(comps: list[dict], h: int, w: int, hmax: int, vmax: int) -> np.ndarray:
+    """Dequantized per-component coefficient blocks → (h, w, 3) uint8 RGB
+    (IDCT, replication chroma upsample, BT.601) — shared by the baseline
+    and progressive decode paths."""
     planes = []
     for comp in comps:
         sp = _idct_blocks(comp["coef"])  # (nblocks, 8, 8)
@@ -565,3 +580,358 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     b_ = y + 1.772 * cb
     rgb = np.stack([r_, g_, b_], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2, T.81 Annex G) — round 5
+# ---------------------------------------------------------------------------
+
+
+def _next_marker(buf: bytes, pos: int) -> int:
+    """First real marker at/after pos (skips stuffed FF00 and RSTn)."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00 and not (
+            0xD0 <= buf[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(buf)
+
+
+def _dec_ac_first(r: _BitReader, ac_tab: dict, zz: np.ndarray, ss: int, se: int,
+                  al: int, eobrun: int) -> int:
+    """One block of an AC FIRST scan (Ah=0): spectral band [ss, se],
+    values scaled by 2^al; EOBn runs skip whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_huff(r, ac_tab)
+        rr, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << rr) + (r.read_bits(rr) if rr else 0) - 1
+            break
+        k += rr
+        if k > se:
+            raise ValueError("jpeg: AC band overrun in progressive scan")
+        zz[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(r: _BitReader, ac_tab: dict, zz: np.ndarray, ss: int, se: int,
+                   al: int, eobrun: int) -> int:
+    """One block of an AC REFINEMENT scan (Ah=Al+1): newly-nonzero coefs of
+    magnitude 2^al plus one correction bit for every history coefficient
+    (the libjpeg decode_mcu_AC_refine structure)."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        if r.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_huff(r, ac_tab)
+            rr, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg: refinement size must be 1")
+                val = p1 if r.read_bit() else -p1
+            elif rr != 15:
+                eobrun = (1 << rr) + (r.read_bits(rr) if rr else 0)
+                break
+            # advance over rr zero-history coefs (correcting history ones),
+            # then place val at the next zero-history position
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    rr -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+    buf: bytes,
+    pos: int,
+    qts: dict,
+    huff: dict,
+    comps: list[dict],
+    h: int,
+    w: int,
+    restart_interval: int,
+) -> np.ndarray:
+    """Multi-scan progressive tail: accumulate integer zigzag coefficients
+    across DC/AC first + refinement scans, then dequantize + IDCT once."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for comp in comps:
+        comp["bw"] = mcus_x * comp["h"]
+        comp["bh"] = mcus_y * comp["v"]
+        # true (unpadded-to-MCU) block grid for non-interleaved scans
+        comp["cw"] = (-(-w * comp["h"] // hmax) + 7) // 8
+        comp["ch"] = (-(-h * comp["v"] // vmax) + 7) // 8
+        comp["zz"] = np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.int64)
+    by_id = {c["id"]: c for c in comps}
+
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            pos = _next_marker(buf, pos)
+            continue
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        data = buf[pos + 4 : pos + 2 + length]
+        if marker == 0xC4:  # DHT between scans
+            dp = 0
+            while dp < len(data):
+                tc, th = data[dp] >> 4, data[dp] & 0xF
+                bits = list(data[dp + 1 : dp + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _build_decode_map(bits, list(data[dp + 17 : dp + 17 + n]))
+                dp += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # one scan
+            ns = data[0]
+            scan = [by_id[data[1 + 2 * i]] for i in range(ns)]
+            tabs = [(data[2 + 2 * i] >> 4, data[2 + 2 * i] & 0xF) for i in range(ns)]
+            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            r = _BitReader(buf, pos + 2 + length)
+            eobrun = 0
+            preds = [0] * ns
+            unit = 0  # MCUs (interleaved) or blocks (single-comp scan)
+            if ss == 0:  # DC scan — interleaved over MCUs
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            r.align_restart()
+                            preds = [0] * ns
+                        unit += 1
+                        for si, comp in enumerate(scan):
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    bidx = (my * comp["v"] + by) * comp["bw"] + (
+                                        mx * comp["h"] + bx
+                                    )
+                                    if ah == 0:
+                                        size = _decode_huff(r, huff[(0, tabs[si][0])])
+                                        diff = _extend(r.read_bits(size), size) if size else 0
+                                        preds[si] += diff
+                                        comp["zz"][bidx, 0] = preds[si] << al
+                                    elif r.read_bit():
+                                        comp["zz"][bidx, 0] |= 1 << al
+            else:  # AC scan — single component, its own block raster
+                if ns != 1:
+                    raise ValueError("jpeg: progressive AC scan must be single-component")
+                comp = scan[0]
+                ac_tab = huff[(1, tabs[0][1])]
+                dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+                for by in range(comp["ch"]):
+                    for bx in range(comp["cw"]):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            r.align_restart()
+                            eobrun = 0
+                        unit += 1
+                        eobrun = dec(
+                            r, ac_tab, comp["zz"][by * comp["bw"] + bx], ss, se, al, eobrun
+                        )
+            pos = _next_marker(buf, r.pos)
+            continue
+        pos += 2 + length
+
+    for comp in comps:
+        nat = np.zeros((comp["zz"].shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = comp["zz"]
+        comp["coef"] = (nat * qts[comp["tq"]][None, :]).reshape(-1, 8, 8)
+    return _planes_to_rgb(comps, h, w, hmax, vmax)
+
+
+def _enc_ac_first_block(t: np.ndarray, ac_codes: dict, w: _BitWriter) -> None:
+    """AC FIRST-scan block body for band values t (already point-
+    transformed); EOB0-only (std tables define no EOBn>0 symbols)."""
+    nz = np.nonzero(t)[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    run = 0
+    for k in range(last):
+        v = int(t[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac_codes[0xF0]
+            w.write(c, l)
+            run -= 16
+        size = _bit_size(v)
+        c, l = ac_codes[(run << 4) | size]
+        w.write(c, l)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < len(t):
+        c, l = ac_codes[0x00]
+        w.write(c, l)
+
+
+def _enc_ac_refine_block(v: np.ndarray, ac_codes: dict, w: _BitWriter, al: int) -> None:
+    """AC REFINEMENT block body, emitted in exact position-sync with the
+    decoder's advance: each symbol is followed by the correction bits of
+    PRECISELY the history positions its advance passes — a ZRL covers
+    history bits only up to its 16th zero-history position (flushing all
+    pending bits there would desync the decoder's next Huffman read)."""
+    p1 = 1 << al
+    t = np.fix(v / p1).astype(np.int64)  # truncation toward zero (G.1.2.2)
+    hist = np.fix(v / (p1 << 1)).astype(np.int64) != 0
+    n = len(v)
+    newpos = [k for k in range(n) if not hist[k] and t[k] != 0]
+
+    def corr_bits(a: int, b: int) -> None:  # history bits for positions [a, b)
+        for k in range(a, b):
+            if hist[k]:
+                w.write(int(abs(int(t[k]))) & 1, 1)
+
+    ptr = 0
+    for np_ in newpos:
+        zeros = [k for k in range(ptr, np_) if not hist[k] and t[k] == 0]
+        while len(zeros) > 15:
+            c, l = ac_codes[0xF0]  # ZRL: decoder passes 16 zero-history slots
+            w.write(c, l)
+            corr_bits(ptr, zeros[15] + 1)
+            ptr = zeros[15] + 1
+            zeros = zeros[16:]
+        c, l = ac_codes[(len(zeros) << 4) | 1]
+        w.write(c, l)
+        w.write(1 if t[np_] > 0 else 0, 1)
+        corr_bits(ptr, np_)
+        ptr = np_ + 1
+    if ptr < n:
+        c, l = ac_codes[0x00]  # EOB covers the tail's history corrections
+        w.write(c, l)
+        corr_bits(ptr, n)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85, al: int = 1) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes, 4:4:4.
+
+    Scan script exercises BOTH progressive mechanisms: spectral selection
+    (DC and AC in separate scans, per-component AC scans) and successive
+    approximation (first pass at point transform ``al``, then DC and AC
+    refinement scans down to full precision). Quantized coefficients are
+    identical to :func:`encode_jpeg` at the same quality, so the decoded
+    image must match the baseline encoding bit-for-bit (test-pinned)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"encode_jpeg_progressive expects (h, w, 3), got {img.shape}")
+    luma_qt = _quality_scaled(STD_LUMA_QT, quality)
+    chroma_qt = _quality_scaled(STD_CHROMA_QT, quality)
+    ycc = _rgb_to_ycbcr(img)
+    qts = [luma_qt, chroma_qt, chroma_qt]
+    zz = []
+    for ci in range(3):
+        b = _to_blocks(ycc[..., ci])
+        zz.append(_fdct_quant(b, qts[ci]).reshape(b.shape[0], b.shape[1], 64))
+    gh, gw = zz[0].shape[:2]
+
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al_: int) -> bytes:
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 1 else 1
+            p += bytes([cid, (t << 4) | t])
+        return seg(0xFFDA, p + bytes([ss, se, (ah << 4) | al_]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(luma_qt[ZIGZAG].tolist()))
+    out += seg(0xFFDB, bytes([1]) + bytes(chroma_qt[ZIGZAG].tolist()))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    # scan 1: DC first, interleaved, point transform al (arithmetic shift)
+    out += sos([1, 2, 3], 0, 0, 0, al)
+    wtr = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(gh):
+        for bx in range(gw):
+            for ci in range(3):
+                t0 = int(zz[ci][by, bx, 0]) >> al
+                diff = t0 - prev[ci]
+                prev[ci] = t0
+                size = _bit_size(diff)
+                code, length = dc_codes[0 if ci == 0 else 1][size]
+                wtr.write(code, length)
+                if size:
+                    wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    out += wtr.flush()
+
+    # scans 2-4: AC first per component (band 1..63, divide-truncate by 2^al)
+    for ci in range(3):
+        out += sos([ci + 1], 1, 63, 0, al)
+        wtr = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        for by in range(gh):
+            for bx in range(gw):
+                t = np.fix(zz[ci][by, bx, 1:] / (1 << al)).astype(np.int64)
+                _enc_ac_first_block(t, codes, wtr)
+        out += wtr.flush()
+
+    # scan 5: DC refinement — one raw bit per block per component
+    out += sos([1, 2, 3], 0, 0, al, al - 1) if al > 1 else sos([1, 2, 3], 0, 0, al, 0)
+    wtr = _BitWriter()
+    for by in range(gh):
+        for bx in range(gw):
+            for ci in range(3):
+                wtr.write(int(zz[ci][by, bx, 0]) & 1, 1)
+    out += wtr.flush()
+
+    # scans 6-8: AC refinement per component down to full precision
+    for ci in range(3):
+        out += sos([ci + 1], 1, 63, al, al - 1) if al > 1 else sos([ci + 1], 1, 63, al, 0)
+        wtr = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        for by in range(gh):
+            for bx in range(gw):
+                _enc_ac_refine_block(zz[ci][by, bx, 1:], codes, wtr, 0)
+        out += wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -6,11 +6,11 @@ audio (stages/decode.py — WAV/G.711/pcm16 + ADPCM extension), images
 functions/image_codecs.py) and video (Y4M/YUV4MPEG2 C444+C420 demux with
 BT.601 conversion — functions/video_codecs.py), alongside the
 deterministic header-free fake codecs (``fake-rgb8`` / ``fake-vid8``) used
-by tests, and an EBML/Matroska container demux (functions/mkv_codec.py)
-whose raw-video tracks decode fully. Only pieces that genuinely require a
-native library (webp / progressive-jpeg images, the mp4 container,
-compressed mkv codec bitstreams) raise a declared
-``NotImplementedError``. The Ray-side plumbing (schema, actor-pool
+by tests, and EBML/Matroska + ISO-BMFF container demuxes
+(functions/mkv_codec.py, functions/mp4_codec.py) whose raw-video tracks
+decode fully. JPEG covers baseline AND progressive (SOF2) scans. Only
+pieces that genuinely require a native library (webp images, compressed
+mkv/mp4 codec bitstreams) raise a declared ``NotImplementedError``. The Ray-side plumbing (schema, actor-pool
 signature, batch sizing, output layout) is uniform across all of them.
 """
 
@@ -46,12 +46,12 @@ def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
 
     REAL decoders: ``png`` (stdlib-zlib inflate + scanline unfiltering),
     ``bmp`` (24 bpp BI_RGB), ``ppm`` via
-    :mod:`data_quality_ray.functions.image_codecs`, baseline ``jpeg``
-    (pure-numpy T.81 sequential DCT — 4:4:4/4:2:2/4:2:0, grayscale,
-    restart markers; :mod:`data_quality_ray.functions.jpeg_codec`), plus
-    the header-free deterministic ``fake-rgb8`` test codec. Only formats
-    that require a native library (webp; progressive jpeg) remain declared
-    stubs."""
+    :mod:`data_quality_ray.functions.image_codecs`, ``jpeg`` (pure-numpy
+    T.81 — baseline sequential 4:4:4/4:2:2/4:2:0, grayscale, restart
+    markers, AND progressive SOF2 with spectral selection + successive
+    approximation; :mod:`data_quality_ray.functions.jpeg_codec`), plus
+    the header-free deterministic ``fake-rgb8`` test codec. Only webp
+    (native-library codec) remains a declared stub."""
     from data_quality_ray.functions import image_codecs
 
     if fmt == "fake-rgb8":
@@ -68,7 +68,7 @@ def decode_image(buf: bytes, width: int, height: int, fmt: str) -> np.ndarray:
     if fmt == "jpeg":
         from data_quality_ray.functions.jpeg_codec import decode_jpeg
 
-        return decode_jpeg(buf)  # progressive/arithmetic raise inside
+        return decode_jpeg(buf)  # baseline + progressive; arithmetic raises inside
     raise NotImplementedError(
         f"image codec {fmt!r}: decoders needing a native library (webp) "
         "are not available in this environment — plug one into decode_image()"

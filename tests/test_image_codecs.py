@@ -342,3 +342,62 @@ def test_mp4_rawvideo_roundtrip_and_probe():
         m4.decode_mp4(avc)
     with _pytest.raises(ValueError):
         m4.mp4_probe(b"RIFFnot-a-bmff-file")
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Progressive (SOF2) decode: the progressive encoder quantizes
+    identically to the baseline encoder, so after all refinement scans the
+    decoded image must be BIT-IDENTICAL to decoding the baseline encoding
+    — pinning spectral selection, successive approximation, EOB runs and
+    the refinement correction-bit protocol in one equality."""
+    from data_quality_ray.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    for shape, q in [((17, 23, 3), 85), ((48, 64, 3), 92), ((9, 40, 3), 40)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = encode_jpeg_progressive(img, quality=q)
+        assert prog[2:4] == b"\xff\xe0" or prog[:2] == b"\xff\xd8"
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 8  # SOF2, 8 scans
+        assert np.array_equal(
+            decode_jpeg(prog), decode_jpeg(encode_jpeg(img, quality=q))
+        )
+    # smooth content exercises long zero runs / ZRL-in-refinement paths
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack([(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], -1).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, quality=70)),
+        decode_jpeg(encode_jpeg(img, quality=70)),
+    )
+
+
+def test_image_stage_decodes_progressive_jpeg(ray_session):
+    """A progressive-JPEG payload must decode through the same actor-pool
+    ImageFeatureStage seam as every other real format."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_ray.functions.jpeg_codec import encode_jpeg_progressive
+    from data_quality_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["p-0"], pa.string()),
+            "bytes": pa.array([encode_jpeg_progressive(img, quality=92)], pa.binary()),
+            "width": pa.array([16], pa.int32()),
+            "height": pa.array([12], pa.int32()),
+            "format": pa.array(["jpeg"], pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(mm.ImageFeatureStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert bool(out["decode_ok"].iloc[0])
+    assert abs(out["mean_rgb"].iloc[0][0] - img[..., 0].mean()) < 12
