@@ -228,3 +228,56 @@ def encode_ppm(img: np.ndarray) -> bytes:
     if c != 3:
         raise ValueError(f"encode_ppm expects (h, w, 3), got {img.shape}")
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WebP container probe (RIFF/VP8X demux; codec bitstreams stay declared) — r5
+# ---------------------------------------------------------------------------
+
+
+def webp_probe(buf: bytes) -> dict:
+    """Demux a WebP container (RIFF chunks per the public spec): returns
+    {chunks, kind, width, height, has_alpha}. The chunk walk, VP8X canvas
+    size, lossy-VP8 frame-tag dimensions and VP8L header are all parsed;
+    only the codec BITSTREAMS (VP8 boolean-coder / VP8L entropy image)
+    remain the declared native-library seam (``decode_image``). Validated
+    against a real lossy+alpha webp in tests."""
+    import struct as _struct
+
+    if len(buf) < 16 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    out = {"chunks": [], "kind": None, "width": None, "height": None, "has_alpha": False}
+    pos = 12
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4].decode("latin1")
+        (sz,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + sz]
+        out["chunks"].append((tag, sz))
+        if tag == "VP8X" and sz >= 10:
+            flags = body[0]
+            out["has_alpha"] = bool(flags & 0x10)
+            out["width"] = 1 + int.from_bytes(body[4:7], "little")
+            out["height"] = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == "VP8 " and sz >= 10:
+            out["kind"] = "lossy"
+            if body[3:6] == b"\x9d\x01\x2a":  # keyframe start code
+                w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                h = int.from_bytes(body[8:10], "little") & 0x3FFF
+                out.setdefault("frame_width", w)
+                out["frame_width"], out["frame_height"] = w, h
+                if out["width"] is None:
+                    out["width"], out["height"] = w, h
+        elif tag == "VP8L" and sz >= 5:
+            out["kind"] = "lossless"
+            if body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                if out["width"] is None:
+                    out["width"] = 1 + (bits & 0x3FFF)
+                    out["height"] = 1 + ((bits >> 14) & 0x3FFF)
+                out["has_alpha"] = out["has_alpha"] or bool((bits >> 28) & 1)
+        elif tag == "ALPH":
+            out["has_alpha"] = True
+        pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if out["kind"] is None and not any(t == "VP8X" for t, _ in out["chunks"]):
+        raise ValueError("WebP container has no VP8/VP8L/VP8X chunk")
+    return out

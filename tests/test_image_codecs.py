@@ -401,3 +401,27 @@ def test_image_stage_decodes_progressive_jpeg(ray_session):
     )
     assert bool(out["decode_ok"].iloc[0])
     assert abs(out["mean_rgb"].iloc[0][0] - img[..., 0].mean()) < 12
+
+
+def test_webp_container_probe_real_file():
+    """The WebP RIFF/VP8X demux must parse a REAL webp (CPython's test
+    asset — lossy VP8 + alpha) and a synthetic container; only the codec
+    bitstream remains the declared stub."""
+    import glob
+    import pytest as _pytest
+
+    from data_quality_ray.functions.image_codecs import webp_probe
+
+    candidates = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/**/python.webp", recursive=True
+    )
+    if not candidates:
+        _pytest.skip("no real webp asset on this system")
+    p = webp_probe(open(candidates[0], "rb").read())
+    assert [t for t, _ in p["chunks"]] == ["VP8X", "ALPH", "VP8 "]
+    assert p["kind"] == "lossy" and p["has_alpha"]
+    assert p["width"] == 16 and p["height"] == 16
+    assert p["frame_width"] == 16 and p["frame_height"] == 16
+
+    with _pytest.raises(ValueError):
+        webp_probe(b"RIFF\x00\x00\x00\x00WAVEdata")
