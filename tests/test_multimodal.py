@@ -19,13 +19,16 @@ def test_decode_image_native_codec_is_stubbed():
         mm.decode_image(b"RIFF....WEBP", 4, 4, "webp")
 
 
-def test_decode_image_progressive_jpeg_is_stubbed():
-    # SOI + SOF2 (progressive) header — the declared seam inside decode_jpeg
-    import struct
+def test_decode_image_progressive_jpeg_real():
+    # progressive (SOF2) decodes for real since round 5 — must match the
+    # baseline decode of the same image exactly through the stage seam
+    from data_quality_ray.functions.jpeg_codec import encode_jpeg, encode_jpeg_progressive
 
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes([8, 0, 4, 0, 4, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="progressive"):
-        mm.decode_image(sof2, 4, 4, "jpeg")
+    yy, xx = np.mgrid[0:12, 0:16]
+    img = np.stack([xx * 16, yy * 20, (xx + yy) * 9], axis=-1).astype(np.uint8)
+    prog = mm.decode_image(encode_jpeg_progressive(img, quality=90), 16, 12, "jpeg")
+    base = mm.decode_image(encode_jpeg(img, quality=90), 16, 12, "jpeg")
+    assert np.array_equal(prog, base)
 
 
 def test_decode_image_baseline_jpeg_real():
