@@ -319,12 +319,14 @@ class ShardWorker:
         gap_us: int,
         batch_rows: int,
         watermark_every: int,
+        out_path: "str | None" = None,
     ):
         self.shard_id = shard_id
         self.paths = list(seg_paths)
         self.gap_us = int(gap_us)
         self.batch_rows = int(batch_rows)
         self.wm_every = int(watermark_every)
+        self.out_path = out_path
 
     def run(self) -> tuple[pd.DataFrame, dict]:
         st = _SessionState(self.gap_us)
@@ -373,8 +375,22 @@ class ShardWorker:
             }
         )
         out["max_session_events"] = out["user_id"].map(max_events).astype("int64")
+        out = out.sort_values("user_id").reset_index(drop=True)
         stats["result_rows"] = len(out)
-        return out.sort_values("user_id").reset_index(drop=True), stats
+        if self.out_path:  # atomic partition commit (tmp → rename)
+            tmp = f"{self.out_path}.tmp-{os.getpid()}"
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+            os.replace(tmp, self.out_path)
+        return out, stats
+
+
+def _shard_part_path(out_dir: str, s: int) -> str:
+    return os.path.join(out_dir, f"shard={s}.parquet")
+
+
+_EMPTY_SESSIONS = pd.DataFrame(
+    {"user_id": [], "n_sessions": [], "max_session_events": []}
+).astype("int64")
 
 
 def streaming_sessions(
@@ -384,26 +400,72 @@ def streaming_sessions(
     n_shards: int = N_STREAM_SHARDS,
     watermark_every: int = 4,
     return_stats: bool = False,
+    out_dir: "str | None" = None,
+    resume: bool = True,
 ):
     """Replay the events table as n_shards ordered log partitions through
     shard-owned source+session workers; return per-user (n_sessions,
     max_session_events) — value-identical to the batch sessionization
     (``relational.events_sessions`` / EVENTS_SESSIONS_SQL).
 
+    With ``out_dir`` set, each worker commits its user-grain partition as
+    ``shard={s}.parquet`` via tmp+rename (atomic), and with ``resume=True``
+    a re-run skips every committed shard — reading only its partition file
+    and replaying nothing (the checkpointed-pipeline contract extended to
+    the streaming family; shard output is deterministic, so a partial
+    crash re-run is value-identical to a clean run). When every partition
+    is committed the log build itself is skipped.
+
     With ``return_stats=True`` also returns (per-shard stats list,
     log-build plan stats string) for the scale-contract tests: mid-stream
     emissions happened, bytes-to-driver are user-grain, and the log build
     ran with no all-to-all operator."""
     gap_us = gap_minutes * 60_000_000
+    done: dict[int, str] = {}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        if resume:
+            done = {
+                s: _shard_part_path(out_dir, s)
+                for s in range(n_shards)
+                if os.path.exists(_shard_part_path(out_dir, s))
+            }
     log_dir = tempfile.mkdtemp(prefix="stream_log_")
     try:
-        paths, plan_stats = build_ordered_log(sf_dir, log_dir, n_shards)
+        if len(done) == n_shards:  # fully committed: no log build, no replay
+            paths = {s: [] for s in range(n_shards)}
+            plan_stats = "resumed: all partitions committed (no execution)"
+        else:
+            paths, plan_stats = build_ordered_log(sf_dir, log_dir, n_shards)
+        todo = [s for s in range(n_shards) if paths[s] and s not in done]
         workers = [
-            ShardWorker.remote(s, paths[s], gap_us, batch_rows, watermark_every)
-            for s in range(n_shards)
-            if paths[s]
+            ShardWorker.remote(
+                s,
+                paths[s],
+                gap_us,
+                batch_rows,
+                watermark_every,
+                _shard_part_path(out_dir, s) if out_dir else None,
+            )
+            for s in todo
         ]
         results = ray.get([w.run.remote() for w in workers])
+        if out_dir:  # segment-less shards commit an (empty) partition too,
+            # so a later resume can detect the fully-committed state
+            for s in range(n_shards):
+                if s not in done and not paths[s]:
+                    tmp = _shard_part_path(out_dir, s) + f".tmp-{os.getpid()}"
+                    pq.write_table(
+                        pa.Table.from_pandas(_EMPTY_SESSIONS, preserve_index=False), tmp
+                    )
+                    os.replace(tmp, _shard_part_path(out_dir, s))
+        for s, p in sorted(done.items()):  # committed shards: read, no replay
+            df = pq.read_table(p).to_pandas()
+            results.append(
+                (df, {"shard": s, "resumed": True, "rows_streamed": 0,
+                      "result_rows": len(df), "emitted_before_flush": 0,
+                      "n_watermark_drains": 0})
+            )
         for w in workers:
             ray.kill(w)
     finally:

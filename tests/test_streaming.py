@@ -190,3 +190,41 @@ def test_streaming_hourly_windows_tiny_batches(_ray):
 
     got = streaming_hourly_windows(SF_DIR, batch_rows=7, watermark_every=1)
     assert got.equals(relational.events_hourly(SF_DIR))
+
+
+def test_streaming_sessions_resumable_partitions(_ray, tmp_path):
+    """The streaming sink must write one atomic parquet partition per
+    shard and a re-run must skip committed shards — delete one partition
+    and ONLY that shard replays; the final result is identical either way
+    (the checkpointed-pipeline contract on the streaming family)."""
+    import os
+
+    from data_quality_ray.pipelines import relational
+    from data_quality_ray.pipelines.streaming import N_STREAM_SHARDS, streaming_sessions
+
+    out_dir = str(tmp_path / "sessions_out")
+    base = relational.events_sessions(SF_DIR)
+
+    got = streaming_sessions(SF_DIR, batch_rows=128, out_dir=out_dir)
+    assert got.equals(base)
+    files = sorted(os.listdir(out_dir))
+    assert files == [f"shard={s}.parquet" for s in range(N_STREAM_SHARDS)]
+
+    # fully committed: re-run replays NOTHING (no log build, no workers)
+    got2, stats2, plan2 = streaming_sessions(
+        SF_DIR, batch_rows=128, out_dir=out_dir, return_stats=True
+    )
+    assert got2.equals(base)
+    assert all(s.get("resumed") for s in stats2)
+    assert sum(s["rows_streamed"] for s in stats2) == 0
+    assert "resumed" in plan2
+
+    # partial crash: one partition lost → only that shard replays
+    os.unlink(os.path.join(out_dir, "shard=3.parquet"))
+    got3, stats3, _ = streaming_sessions(
+        SF_DIR, batch_rows=128, out_dir=out_dir, return_stats=True
+    )
+    assert got3.equals(base)
+    replayed = [s["shard"] for s in stats3 if not s.get("resumed")]
+    assert replayed == [3]
+    assert all(s["rows_streamed"] == 0 for s in stats3 if s.get("resumed"))
