@@ -179,11 +179,13 @@ def main() -> None:
         lambda: streaming_mod.streaming_hourly_windows(sf_dir),
     )
 
-    # round-5 additions: checked ANN/semantic variants (SQL-oracled)
+    # round-5 additions: checked ANN/semantic variants (SQL-oracled),
+    # sequence packing (distributed exclusive scan)
     bench("ann_ivf_checked", lambda: embeddings.ann_ivf_checked(sf_dir))
     bench(
         "semantic_dedup_checked", lambda: embeddings.semantic_dedup_checked(sf_dir)
     )
+    bench("doc_pack_sequences", lambda: docs_mod.doc_pack_sequences(sf_dir))
 
     calibration.append(_calibration())  # mid-bench contention probe
 
