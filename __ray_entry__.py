@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_streaming": _q_events_hourly_streaming,
         # --- new in round 5: sequence packing (distributed exclusive scan) ---
         "doc_pack_sequences": documents.doc_pack_sequences,
+        # --- kernels rewritten Arrow-native in round 5 (fresh row needed) ---
+        "q3_shipping_priority": relational_ext.q3_shipping_priority,
+        "events_trailing_hour": relational_ext.events_trailing_hour,
         # --- SQL-oracled, green ONCE (rounds 1–4) ---
         "orders_percent_rank": relational_ext.orders_percent_rank,
         "part_mode_type": relational_ext.part_mode_type,
@@ -301,16 +304,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub": documents.doc_scrub,
         "doc_quality_flags": documents.doc_quality_flags,
         "doc_split": _q_doc_split,
+        # ---------------- tail (entry 51+): SQL-oracled veterans ----------
         "doc_top_terms": documents.doc_top_terms,
         "doc_length_histogram": documents.doc_length_histogram,
-        # ---------------- tail (entry 51+): SQL-oracled veterans ----------
         "events_props_extract": relational_ext.events_props_extract,
         "events_weekly_users": relational_ext.events_weekly_users,
         "events_value_median": relational_ext.events_value_median,
         "revenue_rollup": relational_ext.revenue_rollup,
         "repeat_customers_intersect": relational_ext.repeat_customers_intersect,
         "orders_prior_window": relational_ext.orders_prior_window,
-        "q3_shipping_priority": relational_ext.q3_shipping_priority,
         "doc_stratified_sample": relational_ext.doc_stratified_sample,
         "events_value_quantiles": relational_ext.events_value_quantiles,
         "events_value_k_corr": relational_ext.events_value_k_corr,
@@ -319,7 +321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": relational.orders_running_total,
         "top_orders_per_customer": relational.top_orders_per_customer,
         "events_user_gaps": relational_ext.events_user_gaps,
-        "events_trailing_hour": relational_ext.events_trailing_hour,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "top_customers": relational.top_customers,

@@ -263,7 +263,6 @@ def webp_probe(buf: bytes) -> dict:
             if body[3:6] == b"\x9d\x01\x2a":  # keyframe start code
                 w = int.from_bytes(body[6:8], "little") & 0x3FFF
                 h = int.from_bytes(body[8:10], "little") & 0x3FFF
-                out.setdefault("frame_width", w)
                 out["frame_width"], out["frame_height"] = w, h
                 if out["width"] is None:
                     out["width"], out["height"] = w, h

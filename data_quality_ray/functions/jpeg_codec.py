@@ -722,7 +722,27 @@ def _decode_progressive(
             eobrun = 0
             preds = [0] * ns
             unit = 0  # MCUs (interleaved) or blocks (single-comp scan)
-            if ss == 0:  # DC scan — interleaved over MCUs
+            if ss == 0 and ns == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved —
+                # raster order over the component's own cw×ch block grid
+                # (MCU padding blocks excluded), even for DC scans
+                comp = scan[0]
+                dc_tab = huff.get((0, tabs[0][0]))
+                for by in range(comp["ch"]):
+                    for bx in range(comp["cw"]):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            r.align_restart()
+                            preds = [0] * ns
+                        unit += 1
+                        bidx = by * comp["bw"] + bx
+                        if ah == 0:
+                            size = _decode_huff(r, dc_tab)
+                            diff = _extend(r.read_bits(size), size) if size else 0
+                            preds[0] += diff
+                            comp["zz"][bidx, 0] = preds[0] << al
+                        elif r.read_bit():
+                            comp["zz"][bidx, 0] |= 1 << al
+            elif ss == 0:  # DC scan — interleaved over MCUs
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
                         if restart_interval and unit and unit % restart_interval == 0:
@@ -845,6 +865,11 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85, al: int = 1) -> 
     h, w, c = img.shape
     if c != 3:
         raise ValueError(f"encode_jpeg_progressive expects (h, w, 3), got {img.shape}")
+    if al != 1:
+        # one refinement pass per band is emitted, so only al=1 reaches full
+        # precision; deeper scan cascades are not implemented (explicit
+        # guard — an al>1 stream would desync the decoder)
+        raise ValueError("encode_jpeg_progressive supports al=1 only")
     luma_qt = _quality_scaled(STD_LUMA_QT, quality)
     chroma_qt = _quality_scaled(STD_CHROMA_QT, quality)
     ycc = _rgb_to_ycbcr(img)

@@ -28,6 +28,8 @@ import numpy as np
 
 # Matroska element IDs (public registry), as full big-endian byte values
 EBML_HEADER = 0x1A45DFA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
 DOCTYPE = 0x4282
 SEGMENT = 0x18538067
 INFO = 0x1549A966
@@ -51,7 +53,10 @@ _MASTER = {EBML_HEADER, SEGMENT, INFO, TRACKS, TRACK_ENTRY, VIDEO, CLUSTER}
 def _read_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     """Decode one EBML variable-length integer at ``pos``. Element IDs keep
     the length-marker bits (compared as full values); sizes strip them.
-    Returns (value, new_pos)."""
+    An all-ones size is the spec's UNKNOWN-size marker (RFC 8794 §6.2 —
+    live-muxed streams use it for Segment/Cluster); parsing it needs
+    end-scanning we do not implement, so it raises a DECLARED stub instead
+    of a confusing overrun error. Returns (value, new_pos)."""
     first = buf[pos]
     if first == 0:
         raise ValueError("EBML: invalid vint (leading byte 0)")
@@ -63,6 +68,11 @@ def _read_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     val = first if keep_marker else first & (mask - 1)
     for b in buf[pos + 1 : pos + n]:
         val = (val << 8) | b
+    if not keep_marker and val == (1 << (7 * n)) - 1:
+        raise NotImplementedError(
+            "mkv: unknown-size element (live-muxed stream) — needs an "
+            "end-scanning demuxer not available in this environment"
+        )
     return val, pos + n
 
 
@@ -180,11 +190,18 @@ def _probe_segment(buf: bytes, a: int, b: int, out: dict) -> None:
                 if ttype == 1 and out["track_number"] is None:  # first video track
                     out.update(fields)
         elif eid == CLUSTER:
+            def _take_block(ka: int, kb: int) -> None:
+                track, pos = _read_vint(buf, ka, keep_marker=False)
+                pos += 3  # int16be relative timestamp + flags byte
+                out["blocks"].append((track, buf[pos:kb]))
+
             for cid2, ka, kb in _iter_elements(buf, ca, cb):
                 if cid2 == SIMPLE_BLOCK:
-                    track, pos = _read_vint(buf, ka, keep_marker=False)
-                    pos += 3  # int16be relative timestamp + flags byte
-                    out["blocks"].append((track, buf[pos:kb]))
+                    _take_block(ka, kb)
+                elif cid2 == BLOCK_GROUP:  # Block-in-BlockGroup (same framing)
+                    for gid, ga, gb in _iter_elements(buf, ka, kb):
+                        if gid == BLOCK:
+                            _take_block(ga, gb)
 
 
 def decode_mkv(buf: bytes) -> np.ndarray:

@@ -1115,8 +1115,12 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame
             }
         )
 
-    src = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pyarrow"
+    # materialize the TINY (doc_id, n_tokens, sub) intermediate — 3 int64
+    # columns — so the tokenize pass runs once, not once per consumer
+    src = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
     )
     totals = (
         src.groupby("sub").aggregate(_Sum("n_tokens", alias_name="tok")).to_pandas()

@@ -163,6 +163,7 @@ def build_ordered_log(
     log_dir: str,
     n_shards: int = N_STREAM_SHARDS,
     seg_cols: tuple[str, ...] = ("user_id", "ts_us"),
+    skip_shards: "frozenset[int]" = frozenset(),
 ) -> tuple[dict[int, list[str]], str]:
     """Hash-partition the events table into an ordered log: one map-only
     Ray Data pass; each input block writes ≤ n_shards ts-sorted segment
@@ -183,6 +184,8 @@ def build_ordered_log(
         shard = pa.array(t["user_id"].to_numpy() % n_shards, pa.int64())
         rows = []
         for s in range(n_shards):
+            if s in skip_shards:  # partial resume: committed shards need
+                continue          # no segments — cuts rebuild I/O ~n_shards×
             sub = t.filter(pc.equal(shard, s))
             if len(sub) == 0:
                 continue
@@ -278,7 +281,7 @@ def _merge_replay(
     bufs: list[list[np.ndarray]] = []
     buffered = 0
 
-    def flush_bufs(upto_all: bool) -> None:
+    def flush_bufs() -> None:
         nonlocal bufs, buffered
         if not bufs:
             return
@@ -302,8 +305,8 @@ def _merge_replay(
         bufs.append(run)
         buffered += len(run[0])
         if buffered >= batch_rows:
-            flush_bufs(True)
-    flush_bufs(True)
+            flush_bufs()
+    flush_bufs()
 
 
 @ray.remote(num_cpus=0.25)
@@ -423,7 +426,28 @@ def streaming_sessions(
     gap_us = gap_minutes * 60_000_000
     done: dict[int, str] = {}
     if out_dir:
+        import json as _json
+
         os.makedirs(out_dir, exist_ok=True)
+        # parameter manifest: partitions are only valid for the exact
+        # (gap, n_shards, input) they were computed with — a re-run with
+        # different parameters must FAIL LOUDLY, never resume stale output
+        meta = {"gap_minutes": int(gap_minutes), "n_shards": int(n_shards),
+                "sf_dir": os.path.abspath(sf_dir)}
+        meta_path = os.path.join(out_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            prior = _json.load(open(meta_path))
+            if prior != meta:
+                raise ValueError(
+                    f"streaming_sessions: out_dir {out_dir} was written with "
+                    f"{prior}, requested {meta} — use a fresh out_dir "
+                    "(explicit guard, never silently resume stale partitions)"
+                )
+        else:
+            tmpm = meta_path + f".tmp-{os.getpid()}"
+            with open(tmpm, "w") as fh:
+                _json.dump(meta, fh)
+            os.replace(tmpm, meta_path)
         if resume:
             done = {
                 s: _shard_part_path(out_dir, s)
@@ -436,7 +460,9 @@ def streaming_sessions(
             paths = {s: [] for s in range(n_shards)}
             plan_stats = "resumed: all partitions committed (no execution)"
         else:
-            paths, plan_stats = build_ordered_log(sf_dir, log_dir, n_shards)
+            paths, plan_stats = build_ordered_log(
+                sf_dir, log_dir, n_shards, skip_shards=frozenset(done)
+            )
         todo = [s for s in range(n_shards) if paths[s] and s not in done]
         workers = [
             ShardWorker.remote(
@@ -597,6 +623,18 @@ def streaming_hourly_windows(
 
     frames = [r[0] for r in results]
     shard_stats = [r[1] for r in results]
+    if not frames or sum(len(f) for f in frames) == 0:
+        out = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "window_start": pd.Series([], dtype="datetime64[ns]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "value_sum": pd.Series([], dtype="float64"),
+            }
+        )
+        if return_stats:
+            return out, shard_stats, plan_stats
+        return out
     merged = (
         pd.concat(frames, ignore_index=True)
         .groupby(["event_type", "hour"], as_index=False)

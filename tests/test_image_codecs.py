@@ -425,3 +425,65 @@ def test_webp_container_probe_real_file():
 
     with _pytest.raises(ValueError):
         webp_probe(b"RIFF\x00\x00\x00\x00WAVEdata")
+
+
+def test_mkv_blockgroup_and_unknown_size():
+    """Block-in-BlockGroup payloads (real muxers use them for non-key
+    frames) must demux like SimpleBlocks, and the RFC 8794 unknown-size
+    marker must raise the DECLARED stub, not a confusing overrun error."""
+    import pytest as _pytest
+
+    from data_quality_ray.functions import mkv_codec as mk
+
+    rng = np.random.default_rng(53)
+    frames = rng.integers(0, 256, (4, 6, 8, 3), dtype=np.uint8)
+    buf = mk.encode_mkv_rawvideo(frames)
+    # rewrap every SimpleBlock (0xA3) as BlockGroup(0xA0)/Block(0xA1)
+    sb = mk._elem(
+        mk.SIMPLE_BLOCK,
+        bytes([0x81]) + (0).to_bytes(2, "big") + bytes([0x80]) + frames[0].tobytes(),
+    )
+    assert sb in buf
+    bg = mk._elem(
+        mk.BLOCK_GROUP,
+        mk._elem(
+            mk.BLOCK,
+            bytes([0x81]) + (0).to_bytes(2, "big") + bytes([0x00]) + frames[0].tobytes(),
+        ),
+    )
+    # splice: replace the first SimpleBlock with the BlockGroup form and fix
+    # the enclosing sizes by re-muxing the remaining frames separately
+    one = mk.encode_mkv_rawvideo(frames[:1])
+    sb1 = mk._elem(
+        mk.SIMPLE_BLOCK,
+        bytes([0x81]) + (0).to_bytes(2, "big") + bytes([0x80]) + frames[0].tobytes(),
+    )
+    # sizes are fixed 8-byte vints, so equal-length payload swaps in place
+    assert len(bg) != len(sb1)  # BlockGroup nests → sizes differ; rebuild:
+    cluster = mk._elem(mk.CLUSTER, mk._uint_elem(mk.CLUSTER_TIMESTAMP, 0) + bg)
+    hdr_end = one.index(mk._encode_id(mk.SEGMENT))
+    # rebuild the segment with the BlockGroup cluster
+    info = mk._elem(mk.INFO, mk._uint_elem(mk.TIMESTAMP_SCALE, 1_000_000))
+    track = mk._elem(
+        mk.TRACK_ENTRY,
+        mk._uint_elem(mk.TRACK_NUMBER, 1)
+        + mk._uint_elem(mk.TRACK_UID, 1)
+        + mk._uint_elem(mk.TRACK_TYPE, 1)
+        + mk._elem(mk.CODEC_ID, b"V_UNCOMPRESSED")
+        + mk._elem(
+            mk.VIDEO,
+            mk._uint_elem(mk.PIXEL_WIDTH, 8) + mk._uint_elem(mk.PIXEL_HEIGHT, 6),
+        ),
+    )
+    seg = mk._elem(mk.SEGMENT, info + mk._elem(mk.TRACKS, track) + cluster)
+    buf_bg = one[:hdr_end] + seg
+    got = mk.decode_mkv(buf_bg)
+    assert np.array_equal(got, frames[:1])
+
+    # unknown-size Segment (live-muxed form): declared stub
+    live = bytearray(buf_bg)
+    seg_id = mk._encode_id(mk.SEGMENT)
+    i = bytes(live).index(seg_id) + len(seg_id)
+    live[i : i + 8] = b"\x01\xff\xff\xff\xff\xff\xff\xff"  # all-ones vint
+    with _pytest.raises(NotImplementedError, match="unknown-size"):
+        mk.mkv_probe(bytes(live))

@@ -208,7 +208,9 @@ def test_streaming_sessions_resumable_partitions(_ray, tmp_path):
     got = streaming_sessions(SF_DIR, batch_rows=128, out_dir=out_dir)
     assert got.equals(base)
     files = sorted(os.listdir(out_dir))
-    assert files == [f"shard={s}.parquet" for s in range(N_STREAM_SHARDS)]
+    assert files == ["_meta.json"] + [
+        f"shard={s}.parquet" for s in range(N_STREAM_SHARDS)
+    ]
 
     # fully committed: re-run replays NOTHING (no log build, no workers)
     got2, stats2, plan2 = streaming_sessions(
@@ -228,3 +230,17 @@ def test_streaming_sessions_resumable_partitions(_ray, tmp_path):
     replayed = [s["shard"] for s in stats3 if not s.get("resumed")]
     assert replayed == [3]
     assert all(s["rows_streamed"] == 0 for s in stats3 if s.get("resumed"))
+
+
+def test_streaming_resume_rejects_parameter_mismatch(_ray, tmp_path):
+    """Committed partitions are only valid for the parameters that
+    produced them: a re-run with a different gap or shard count must fail
+    loudly, never silently resume stale output."""
+    from data_quality_ray.pipelines.streaming import streaming_sessions
+
+    out_dir = str(tmp_path / "sess_meta")
+    streaming_sessions(SF_DIR, gap_minutes=30, out_dir=out_dir)
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        streaming_sessions(SF_DIR, gap_minutes=60, out_dir=out_dir)
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        streaming_sessions(SF_DIR, n_shards=16, out_dir=out_dir)
